@@ -1,0 +1,81 @@
+"""Resume-from-checkpoint equivalence: a run interrupted after K buckets and
+then resumed must produce byte-identical retained rows and a complete,
+non-duplicated commit log (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rasusa_spark.plans.checkpoint import (
+    DownsampleJob,
+    read_commit_log,
+    read_retained,
+    run_downsample_job,
+)
+from rasusa_spark.synth import tokens_raw_df
+
+
+@pytest.fixture(scope="module")
+def raw2k(spark):
+    df = tokens_raw_df(spark, 2000, with_tokens=False, partitions=4).cache()
+    df.count()
+    return df
+
+
+JOB = DownsampleJob(seed=99, mode="bases", bases=5000)
+
+
+def _rows(df):
+    return sorted((r.doc_id, r.n_tok, r.source) for r in df.select("doc_id", "n_tok", "source").collect())
+
+
+def test_resume_equals_single_shot(spark, raw2k, tmp_path):
+    single_out = str(tmp_path / "single_out")
+    single_ck = str(tmp_path / "single_ck")
+    run_downsample_job(spark, raw2k, JOB, single_out, single_ck, run_id="r0")
+    truth = _rows(read_retained(spark, single_out))
+    assert truth, "single-shot run kept no rows"
+
+    # interrupted run: only 9 buckets committed, then "crash"
+    res_out = str(tmp_path / "res_out")
+    res_ck = str(tmp_path / "res_ck")
+    first = run_downsample_job(
+        spark, raw2k, JOB, res_out, res_ck, run_id="r1", max_buckets=9
+    )
+    assert first.count() == 9
+    # resume: must process only the remaining buckets
+    second = run_downsample_job(spark, raw2k, JOB, res_out, res_ck, run_id="r2")
+    commits = read_commit_log(spark, res_ck)
+    total_buckets = (
+        raw2k.select("source", F.date_trunc("day", "ts").alias("b")).distinct().count()
+    )
+    assert commits.count() == total_buckets  # no bucket committed twice
+    assert second.count() == total_buckets - 9
+    assert _rows(read_retained(spark, res_out)) == truth
+
+
+def test_commit_log_lineage_fields(spark, raw2k, tmp_path):
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    run_downsample_job(spark, raw2k, JOB, out, ck, run_id="runA")
+    commits = read_commit_log(spark, ck).collect()
+    assert all(c.seed == 99 for c in commits)
+    assert all(c.group_seed is not None for c in commits)
+    assert all(c.rows_kept <= c.rows_seen for c in commits)
+    assert all(c.watermark is not None for c in commits)
+    ordinals = sorted(c.committed_at_ordinal for c in commits)
+    assert ordinals == list(range(1, len(commits) + 1))
+    # per-bucket budget semantics recorded in metrics: kept tokens cross the
+    # budget by at most one row's worth or the bucket is fully kept
+    for c in commits:
+        assert c.n_tok_kept == c.n_tok_seen or c.n_tok_kept >= JOB.bases
+
+
+def test_rerun_after_completion_is_noop(spark, raw2k, tmp_path):
+    out, ck = str(tmp_path / "o2"), str(tmp_path / "c2")
+    run_downsample_job(spark, raw2k, JOB, out, ck, run_id="x1")
+    before = _rows(read_retained(spark, out))
+    again = run_downsample_job(spark, raw2k, JOB, out, ck, run_id="x2")
+    assert again.count() == 0  # nothing left to do
+    assert _rows(read_retained(spark, out)) == before
