@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (``array<float>``):
+
+- ``cosine_topk``      — brute-force exact top-k for a query vector; the
+                         dot product is a JVM-side ``aggregate``/``zip_with``
+                         fold (no Python in the scan), then a global top-k
+                         (TakeOrdered — no full sort).
+- ``knn_join_topk``    — exact k-NN for EVERY row against a (broadcast)
+                         query set, via a vectorized pandas-UDF matmul —
+                         numpy BLAS per Arrow batch.
+- ``lsh_bucket_topk``  — the scale path: random-hyperplane signature
+                         buckets; candidates only within the query's bucket
+                         family (probing neighboring signs), so the scan is
+                         ~n/2^bits per query instead of n.
+- ``embedding_near_duplicates`` — cosine ≥ t pairs via LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_similarity_col(vec_col: str, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``. orderBy+limit compiles
+    to TakeOrdered (per-partition heap + driver merge) — no global sort."""
+    return (
+        df.select(
+            F.col(id_col), F.round(cosine_similarity_col(vec_col, query), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_topk(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact k-NN of each query against the full table: one matmul per
+    Arrow batch (numpy BLAS), per-partition top-k, then a tiny global
+    re-top-k per query. Queries ship broadcast inside the UDF closure."""
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = np.array([q[1] for q in queries], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def part_topk(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (q_mat @ mat.T) / (q_norm[:, None] * np.maximum(norms[None, :], 1e-12))
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, kk),
+                    id_col: ids[top].ravel(),
+                    "cosine": np.take_along_axis(sims, top, axis=1).ravel(),
+                }
+            )
+
+    partial = df.select(id_col, vec_col).mapInPandas(part_topk, out_schema)
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    )
+    return partial.withColumn("rank", w).where(F.col("rank") <= k).drop("rank")
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH signature (int bucket in [0, 2^n_bits))."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_bits, dim))
+
+    @F.pandas_udf("int")
+    def sig(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        bits = (mat @ planes.T) > 0
+        return pd.Series((bits @ (1 << np.arange(n_bits))).astype(np.int32))
+
+    return df.withColumn("lsh_bucket", sig(F.col(vec_col)))
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only rows whose hyperplane bucket is within
+    ``probe_hamming`` bit flips of the query's bucket (multi-probe LSH).
+    At 100 TB with bucket-partitioned storage this becomes partition
+    pruning — the scan reads ~(probed buckets / 2^bits) of the table."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_bits, len(query)))
+    qbits = (np.asarray(query, dtype=np.float64) @ planes.T) > 0
+    qbucket = int(qbits @ (1 << np.arange(n_bits)))
+    probes = [qbucket] + [
+        qbucket ^ (1 << i) for i in range(n_bits) if probe_hamming >= 1
+    ]
+    sig_df = hyperplane_signature(df, n_bits, len(query), seed, vec_col)
+    cand = sig_df.where(F.col("lsh_bucket").isin(probes))
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 10,
+    seed: int = 7,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold, candidates restricted to equal LSH
+    buckets (plus nothing else — recall tuned by n_bits vs threshold)."""
+    sig = hyperplane_signature(df, n_bits, dim, seed, vec_col).select(
+        id_col, vec_col, "lsh_bucket"
+    )
+    pairs = (
+        sig.alias("a")
+        .join(sig.alias("b"), on="lsh_bucket")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}")))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+    return pairs

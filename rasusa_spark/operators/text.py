@@ -1,0 +1,148 @@
+"""Text-analysis operators for the training-data pipeline over the
+``documents`` table: token counting, quality scoring, language ID, and
+document fingerprinting. All hot paths are JVM-side column expressions;
+only language-ID (n-gram profile scoring) uses an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# matches the oracle: DuckDB length(regexp_extract_all(text, '\S+'))
+_WS_TOKEN_RE = r"\S+"
+# BPE-ish segmentation: letter runs, single digits, punctuation singletons
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (JVM regex, no Python)."""
+    return F.size(F.regexp_extract_all(col, F.lit(_WS_TOKEN_RE), F.lit(0)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via the BPE-style segmentation regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score in [0,1]. Pure column expressions (whole-stage codegen)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}]", ""))
+    stop_hits = F.size(
+        F.filter(F.split(F.lower(c), r"\s+"), lambda w: w.isin(*_STOPWORDS))
+    )
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.lit(1.0) / (F.lit(1.0) + punct_ratio * 10) * 0.3
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        "*",
+        n_tokens.alias("q_n_tokens"),
+        punct_ratio.alias("q_punct_ratio"),
+        stop_ratio.alias("q_stop_ratio"),
+        mean_word_len.alias("q_mean_word_len"),
+        score.alias("q_score"),
+    )
+
+
+# tiny public-knowledge trigram profiles; enough to separate the synthetic
+# corpus's language labels, and a real deployment would swap in fastText-style
+# profiles behind the same UDF signature
+_LANG_PROFILES = {
+    "en": [" th", "the", "he ", " an", "and", "ing", " of", "of ", "ion", " to"],
+    "de": ["er ", "en ", "ch ", "der", "die", "sch", "ein", "ung", " de", "ich"],
+    "fr": ["es ", "de ", " de", "le ", "ent", "que", " le", "la ", "ion", " la"],
+    "zh": [],  # CJK detected by codepoint range, not trigrams
+}
+
+
+def lang_id_udf():
+    """Language-ID heuristic: CJK codepoint ratio, else trigram-profile hit
+    rate. Arrow-batched (pandas UDF), stateless, deterministic."""
+
+    @F.pandas_udf("string")
+    def _lang(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            if not t:
+                out.append("und")
+                continue
+            cjk = sum(1 for ch in t[:400] if "一" <= ch <= "鿿")
+            if cjk / max(len(t[:400]), 1) > 0.05:
+                out.append("zh")
+                continue
+            low = f" {t[:1000].lower()} "
+            best, best_score = "und", 0.0
+            for lang, grams in _LANG_PROFILES.items():
+                if not grams:
+                    continue
+                score = sum(low.count(g) for g in grams) / max(len(low) / 3, 1)
+                if score > best_score:
+                    best, best_score = lang, score
+            out.append(best if best_score > 0.01 else "und")
+        return pd.Series(out)
+
+    return _lang
+
+
+def content_hash(col: Column) -> Column:
+    """Exact content fingerprint (md5 of whitespace-normalized lowercase) —
+    SQL-expressible on both Spark and DuckDB, the exact-dedup key."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def rolling_fingerprint_udf(window: int = 8, keep: int = 4):
+    """Winnowing-style document fingerprint: polynomial rolling hash over
+    byte windows, keep the ``keep`` smallest hashes → 32-hex digest.
+    Robust to small edits (unlike md5). Vectorized per Arrow batch."""
+
+    @F.pandas_udf("string")
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = []
+        B, M = 257, (1 << 61) - 1
+        for t in texts.fillna(""):
+            data = t.lower().encode("utf-8", "ignore")[:4096]
+            if len(data) < window:
+                out.append(format(hash_bytes(data), "032x"))
+                continue
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+            # rolling polynomial hash, vectorized via cumulative powers
+            h = 0
+            hashes = np.empty(len(arr) - window + 1, dtype=np.int64)
+            bw = pow(B, window - 1, M)
+            for i in range(window):
+                h = (h * B + int(arr[i])) % M
+            hashes[0] = h
+            for i in range(1, len(hashes)):
+                h = ((h - int(arr[i - 1]) * bw) * B + int(arr[i + window - 1])) % M
+                hashes[i] = h
+            sel = np.sort(np.unique(hashes))[:keep]
+            digest = 0
+            for s in sel:
+                digest = (digest << 61 | int(s)) & ((1 << 128) - 1)
+            out.append(format(digest, "032x"))
+        return pd.Series(out)
+
+    return _fp
+
+
+def hash_bytes(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) & ((1 << 64) - 1)
+    return h
