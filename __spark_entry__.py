@@ -1,38 +1,564 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises a rasusa_spark operator (SURVEY.md §2 /
+north_rule component) against the driver testdata; ``oracle_sql()`` holds
+the DuckDB-equivalent ANSI SQL. Random-key operators use an arithmetic
+Knuth-multiplicative key (expressible identically in both engines) so the
+*selection machinery* — running-sum budget windows, per-group top-k, frac→k
+rounding, hash thinning — is cross-checked end-to-end; production keys are
+xxhash64 (see rasusa_spark.operators.downsample).
+
+Reference-parity queries (exact PCG64 RNG path) have no SQL equivalent and
+appear as rows-only checks; their bit-parity vs the reference's seeded
+fixtures is asserted in tests/test_downsample.py instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rasusa_spark.operators.dedup import (  # noqa: E402
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from rasusa_spark.operators.downsample import downsample, one_pass_hash  # noqa: E402
+from rasusa_spark.operators.multimodal import extract_features, synth_media_df  # noqa: E402
+from rasusa_spark.operators.rollup import gap_fill, rollup, rollup_from_finer  # noqa: E402
+from rasusa_spark.operators.similarity import cosine_topk, lsh_bucket_topk  # noqa: E402
+from rasusa_spark.operators.text import bpe_ish_token_count, content_hash, token_count  # noqa: E402
+from rasusa_spark.synth import seed_tokens_df  # noqa: E402
+
+# ---------------------------------------------------------------------------
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (public)
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _events_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with value in integer cents as the rollup metric (integer
+    accumulators ⇒ bit-exact sums vs the oracle)."""
+    return _load(spark, sf_dir, "events").withColumn(
+        "n_tok", F.round(F.col("value") * 100).cast("int")
+    )
+
+
+def _li_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem with the oracle-expressible deterministic key and row id."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.withColumn(
+        "li_id", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    ).withColumn(
+        "w_qty", F.round(F.col("l_quantity")).cast("long")
+    )
+
+
+def _li_key_expr():
+    return (F.col("l_orderkey") * _KNUTH + F.col("l_linenumber") * 40503) % F.lit(
+        4294967296
+    )
+
+
+_ROLLUP_COLS = [
+    "event_type",
+    "bucket_start",
+    "n_tok_sum",
+    "row_count",
+    "n_tok_min",
+    "n_tok_max",
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: budget-downsample events per type (threshold strategy),
+    then gap-filled hourly continuous aggregate of the retained stream."""
+    ev = _events_cents(spark, "/root/testdata/sf0.001")
+    kept = downsample(
+        ev,
+        seed=42,
+        group_cols=("event_type",),
+        mode="bases",
+        bases=200_000,
+        id_col="event_id",
+        weight_col="n_tok",
+        strategy="threshold",
+    )
+    h1 = gap_fill(rollup(kept, "1h", group_cols=("event_type",)), "1h",
+                  group_cols=("event_type",))
+    return h1.select(*_ROLLUP_COLS, "gap_filled").orderBy("event_type", "bucket_start")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_1h(spark, sf_dir):
+    ev = _events_cents(spark, sf_dir)
+    return rollup(ev, "1h", group_cols=("event_type",)).select(*_ROLLUP_COLS)
+
+
+def q_rollup_1d(spark, sf_dir):
+    ev = _events_cents(spark, sf_dir)
+    return rollup(ev, "1d", group_cols=("event_type",)).select(*_ROLLUP_COLS)
+
+
+def q_rollup_rerolled_1d(spark, sf_dir):
+    """1h→1d re-rollup (tier cascade) — oracle computes 1d directly; the
+    match proves integer-tier associativity."""
+    ev = _events_cents(spark, sf_dir)
+    h1 = rollup(ev, "1h", group_cols=("event_type",))
+    return rollup_from_finer(h1, "1d", group_cols=("event_type",)).select(*_ROLLUP_COLS)
+
+
+def q_gapfill_1h(spark, sf_dir):
+    ev = _events_cents(spark, sf_dir).where(F.col("event_type") == "click")
+    h1 = rollup(ev, "1h", group_cols=("event_type",))
+    return gap_fill(h1, "1h", group_cols=("event_type",)).select(
+        *_ROLLUP_COLS, "gap_filled"
+    )
+
+
+def q_downsample_budget(spark, sf_dir):
+    li = _li_keyed(spark, sf_dir)
+    kept = downsample(
+        li,
+        seed=0,
+        group_cols=("l_returnflag",),
+        mode="bases",
+        bases=50_000,
+        id_col="li_id",
+        weight_col="w_qty",
+        strategy="window",
+        key_expr=_li_key_expr(),
+    )
+    return kept.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+def q_downsample_budget_threshold(spark, sf_dir):
+    """Same selection as q_downsample_budget but through the two-phase
+    threshold strategy — oracle identical, proving the scale path selects
+    the same set as the sequential-semantics window."""
+    li = _li_keyed(spark, sf_dir)
+    kept = downsample(
+        li,
+        seed=0,
+        group_cols=("l_returnflag",),
+        mode="bases",
+        bases=50_000,
+        id_col="li_id",
+        weight_col="w_qty",
+        strategy="threshold",
+        key_expr=_li_key_expr(),
+    )
+    return kept.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+def q_downsample_topk(spark, sf_dir):
+    li = _li_keyed(spark, sf_dir)
+    kept = downsample(
+        li,
+        seed=0,
+        group_cols=("l_returnflag",),
+        mode="num",
+        num=100,
+        id_col="li_id",
+        strategy="window",
+        key_expr=_li_key_expr(),
+    )
+    return kept.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+def q_downsample_frac(spark, sf_dir):
+    li = _li_keyed(spark, sf_dir)
+    kept = downsample(
+        li,
+        seed=0,
+        group_cols=("l_returnflag",),
+        mode="frac",
+        frac=0.25,
+        id_col="li_id",
+        strategy="window",
+        key_expr=_li_key_expr(),
+    )
+    return kept.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+def q_onepass_thin(spark, sf_dir):
+    """Order-free Bernoulli hash thinning (one-pass analog) on events."""
+    ev = _load(spark, sf_dir, "events")
+    u = F.pmod(F.col("event_id") * _KNUTH, F.lit(4294967296)) / F.lit(4294967296.0)
+    return ev.where(u < 0.25).select("event_id", "event_type", "user_id")
+
+
+def q_semi_join_survivors(spark, sf_dir):
+    """Mate-recovery analog (A4): broadcast left-semi join of lineitem onto
+    the surviving order set."""
+    li = _load(spark, sf_dir, "lineitem")
+    survivors = _load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    out = li.join(
+        F.broadcast(survivors.select(F.col("o_orderkey").alias("l_orderkey"))),
+        on="l_orderkey",
+        how="left_semi",
+    )
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty_sum"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (P1 read-length-projection analog) in
+    integer cents for bit-exact aggregation."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_price_cents"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
+
+
+def q_top_per_group(spark, sf_dir):
+    """Per-type top-3 events by value (bounded top-k, A1 heap analog)."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value", "rn")
+    )
+
+
+def q_sortedness_check(spark, sf_dir):
+    """Input-sortedness validation (P5, stream.rs:157-164 analog): count
+    out-of-order timestamps per user when read in event_id order."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)
+            ).alias("violations"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("doc_id"), content_hash(F.col("text")).alias("chash"))
+        .groupBy("chash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+
+
+def q_cosine_threshold(spark, sf_dir):
+    """Brute-force cosine vs the all-ones probe vector, thresholded (set
+    semantics avoid top-k boundary-tie sensitivity)."""
+    embs = _load(spark, sf_dir, "embeddings")
+    from rasusa_spark.operators.similarity import cosine_similarity_col
+
+    c = cosine_similarity_col("embedding", [1.0] * 64)
+    return (
+        embs.select("vec_id", F.round(c, 6).alias("cosine"))
+        .where(F.col("cosine") >= 0.2)
+    )
+
+
+def q_label_norms(spark, sf_dir):
+    """Per-label embedding norm statistics (vectorized JVM fold)."""
+    from rasusa_spark.operators.similarity import _dot
+
+    embs = _load(spark, sf_dir, "embeddings")
+    return embs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(_dot(F.col("embedding"), F.col("embedding"))), 4).alias(
+            "avg_sq_norm"
+        ),
+    )
+
+
+def q_json_props(spark, sf_dir):
+    """JSON scalar extraction over the events props column."""
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- rows-only queries (non-SQL-expressible: exact RNG parity, LSH) --------
+
+
+def q_golden_num10_seed1(spark, sf_dir):
+    """Reference bit-parity: `reads -n 10 -s 1` on the seed.fastq analog
+    (tests/reproducibility.rs:9-14). Ignores sf_dir — fixture is synthesized
+    in-memory. Kept set asserted golden in tests/test_downsample.py."""
+    df = seed_tokens_df(spark)
+    out = downsample(
+        df, seed=1, mode="num", num=10, strategy="exact", derive_group_seeds=False
+    )
+    return out.select("doc_id", "n_tok").orderBy("doc_id")
+
+
+def q_golden_onepass_seed1(spark, sf_dir):
+    df = seed_tokens_df(spark)
+    out = downsample(
+        df, seed=1, mode="one_pass", frac=0.5, derive_group_seeds=False
+    )
+    return out.select("doc_id", "n_tok").orderBy("doc_id")
+
+
+def q_minhash_pairs(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.35).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=12)
+
+
+def q_lsh_topk(spark, sf_dir):
+    embs = _load(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(embs, [1.0] * 64, k=10, n_bits=6)
+
+
+def q_cosine_topk(spark, sf_dir):
+    embs = _load(spark, sf_dir, "embeddings")
+    return cosine_topk(embs, [1.0] * 64, k=10)
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = synth_media_df(spark, 64)
+    return extract_features(media, deterministic_fake=True).select(
+        "media_id", "kind", "n_bytes"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rollup_1h": q_rollup_1h,
+        "rollup_1d": q_rollup_1d,
+        "rollup_rerolled_1d": q_rollup_rerolled_1d,
+        "gapfill_1h": q_gapfill_1h,
+        "downsample_budget": q_downsample_budget,
+        "downsample_budget_threshold": q_downsample_budget_threshold,
+        "downsample_topk": q_downsample_topk,
+        "downsample_frac": q_downsample_frac,
+        "onepass_thin": q_onepass_thin,
+        "semi_join_survivors": q_semi_join_survivors,
+        "pricing_summary": q_pricing_summary,
+        "top_per_group": q_top_per_group,
+        "sortedness_check": q_sortedness_check,
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_threshold": q_cosine_threshold,
+        "label_norms": q_label_norms,
+        "json_props": q_json_props,
+        # rows-only (exact-RNG parity / LSH approximations):
+        "golden_num10_seed1": q_golden_num10_seed1,
+        "golden_onepass_seed1": q_golden_onepass_seed1,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_topk": q_lsh_topk,
+        "cosine_topk": q_cosine_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_EV_CENTS = "SELECT *, CAST(round(value*100) AS INT) AS n_tok FROM events"
+
+_ROLLUP_SQL = """
+WITH ev AS ({ev})
+SELECT event_type,
+       date_trunc('{unit}', ts)                  AS bucket_start,
+       CAST(sum(n_tok) AS BIGINT)                AS n_tok_sum,
+       count(*)                                  AS row_count,
+       min(n_tok)                                AS n_tok_min,
+       max(n_tok)                                AS n_tok_max
+FROM ev GROUP BY 1, 2
+"""
+
+_LI_KEYED = f"""
+SELECT *, (l_orderkey*{_KNUTH} + l_linenumber*40503) % 4294967296 AS k,
+       l_orderkey*8 + l_linenumber AS li_id,
+       CAST(round(l_quantity) AS BIGINT) AS w_qty
+FROM lineitem
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    budget_sql = f"""
+WITH t AS ({_LI_KEYED}),
+c AS (SELECT *, coalesce(sum(w_qty) OVER (
+        PARTITION BY l_returnflag ORDER BY k, li_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM t)
+SELECT l_orderkey, l_linenumber, l_returnflag FROM c WHERE prev < 50000
+"""
+    return {
+        "rollup_1h": _ROLLUP_SQL.format(ev=_EV_CENTS, unit="hour"),
+        "rollup_1d": _ROLLUP_SQL.format(ev=_EV_CENTS, unit="day"),
+        "rollup_rerolled_1d": _ROLLUP_SQL.format(ev=_EV_CENTS, unit="day"),
+        "gapfill_1h": f"""
+WITH ev AS (SELECT * FROM ({_EV_CENTS}) WHERE event_type = 'click'),
+b AS (SELECT date_trunc('hour', min(ts)) lo, date_trunc('hour', max(ts)) hi FROM ev),
+s AS (SELECT 'click' AS event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start FROM b),
+a AS (SELECT date_trunc('hour', ts) AS bucket_start,
+             CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+             count(*) AS row_count,
+             min(n_tok) AS n_tok_min,
+             max(n_tok) AS n_tok_max
+      FROM ev GROUP BY 1)
+SELECT s.event_type, s.bucket_start,
+       coalesce(a.n_tok_sum, 0)  AS n_tok_sum,
+       coalesce(a.row_count, 0)  AS row_count,
+       a.n_tok_min, a.n_tok_max,
+       a.row_count IS NULL       AS gap_filled
+FROM s LEFT JOIN a USING (bucket_start)
+""",
+        "downsample_budget": budget_sql,
+        "downsample_budget_threshold": budget_sql,
+        "downsample_topk": f"""
+WITH t AS ({_LI_KEYED}),
+c AS (SELECT *, row_number() OVER (
+        PARTITION BY l_returnflag ORDER BY k, li_id) AS rn FROM t)
+SELECT l_orderkey, l_linenumber, l_returnflag FROM c WHERE rn <= 100
+""",
+        "downsample_frac": f"""
+WITH t AS ({_LI_KEYED}),
+c AS (SELECT *, row_number() OVER (
+        PARTITION BY l_returnflag ORDER BY k, li_id) AS rn,
+        count(*) OVER (PARTITION BY l_returnflag) AS n FROM t)
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM c WHERE rn <= floor(0.25*n + 0.5)
+""",
+        "onepass_thin": f"""
+SELECT event_id, event_type, user_id FROM events
+WHERE ((event_id*{_KNUTH}) % 4294967296) / 4294967296.0 < 0.25
+""",
+        "semi_join_survivors": """
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = lineitem.l_orderkey AND o.o_orderstatus = 'F')
+GROUP BY 1
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)            AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)   AS sum_price_cents,
+       count(*)                                                          AS count_order,
+       round(avg(l_discount), 6)                                         AS avg_disc
+FROM lineitem GROUP BY 1, 2
+""",
+        "top_per_group": """
+WITH c AS (SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events)
+SELECT event_type, event_id, value, CAST(rn AS INT) AS rn FROM c WHERE rn <= 3
+""",
+        "sortedness_check": """
+WITH l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+           FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       count(*) AS n_events
+FROM l GROUP BY 1
+""",
+        "dedup_exact": """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS chash,
+       count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+""",
+        "token_counts": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT)
+           AS n_bpe_tokens
+FROM documents
+""",
+        "ngram_jaccard": """
+WITH words AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') w
+        FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM words, LATERAL UNNEST(generate_series(1, len(w)-2)) AS t(i)
+       WHERE len(w) >= 3),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(i::DOUBLE/(s1.sz + s2.sz - i), 6) AS jaccard
+FROM inter JOIN sz s1 ON id_a = s1.doc_id JOIN sz s2 ON id_b = s2.doc_id
+WHERE i::DOUBLE/(s1.sz + s2.sz - i) >= 0.3
+""",
+        "cosine_threshold": (
+            "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], ["
+            + ",".join(["1.0"] * 64)
+            + "]), 6) AS cosine FROM embeddings "
+            "WHERE round(list_cosine_similarity(embedding::DOUBLE[], ["
+            + ",".join(["1.0"] * 64)
+            + "]), 6) >= 0.2"
+        ),
+        "label_norms": """
+SELECT label, count(*) AS n_vecs,
+       round(avg(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4)
+           AS avg_sq_norm
+FROM embeddings GROUP BY 1
+""",
+        "json_props": """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n
+FROM events GROUP BY 1
+""",
+    }

@@ -72,10 +72,14 @@ def _with_group_seed(df: DataFrame, group_cols: list[str], seed: int, derive: bo
     return df.withColumn(_GSEED, expr)
 
 
-def _with_key(df: DataFrame, id_col: str) -> DataFrame:
+def _with_key(df: DataFrame, id_col: str, key_expr=None) -> DataFrame:
     """Per-row uniform 64-bit key from (group seed, doc id). Signed order of
-    xxhash64 output is itself a uniform order, so we use it directly."""
-    return df.withColumn(_KEY, F.xxhash64(F.col(_GSEED), F.col(id_col)))
+    xxhash64 output is itself a uniform order, so we use it directly.
+    ``key_expr`` overrides the key (e.g. an arithmetic hash expressible in
+    ANSI SQL for oracle cross-checks)."""
+    if key_expr is None:
+        key_expr = F.xxhash64(F.col(_GSEED), F.col(id_col))
+    return df.withColumn(_KEY, key_expr)
 
 
 def resolve_budget(
@@ -237,6 +241,7 @@ def downsample(
     weight_col: str = "n_tok",
     strategy: str = "threshold",
     derive_group_seeds: bool = True,
+    key_expr=None,
 ) -> DataFrame:
     """Retain a random subset of ``df`` per group, per the given mode.
 
@@ -276,7 +281,7 @@ def downsample(
         )
 
     # key-ordered strategies: frac needs per-group counts to become a k
-    df = _with_key(df, id_col)
+    df = _with_key(df, id_col, key_expr)
     if mode == "frac":
         counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_rs_n"))
         # round-half-away-from-zero on f64(frac)*n (reads.rs:529)
@@ -334,13 +339,16 @@ def one_pass_hash(
     group_cols: tuple[str, ...] | list[str] = ("source",),
     id_col: str = "doc_id",
     derive_group_seeds: bool = True,
+    key_expr=None,
 ) -> DataFrame:
     """Order-free Bernoulli thinning keyed on row identity — the scale-native
     variant when no stable ordinal exists: keep ⟺ hash(group seed, id)
     lands in the lowest frac of the key space. Pure JVM column ops."""
     frac = sampler.normalize_fraction(frac)
     original = df.columns
-    df = _with_key(_with_group_seed(df, list(group_cols), seed, derive_group_seeds), id_col)
+    df = _with_key(
+        _with_group_seed(df, list(group_cols), seed, derive_group_seeds), id_col, key_expr
+    )
     # signed key → uniform [0,1)
     u = F.col(_KEY).cast("double") / F.lit(float(2**64)) + F.lit(0.5)
     return df.where(u < F.lit(frac)).select(*original)
