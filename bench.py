@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full materialization, no
+collect/driver transfer in the timing)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from rasusa_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "rollup_1h",
+    "rollup_rerolled_1d",
+    "gapfill_1h",
+    "downsample_budget_threshold",
+    "downsample_topk",
+    "downsample_frac",
+    "onepass_thin",
+    "semi_join_survivors",
+    "pricing_summary",
+    "top_per_group",
+    "dedup_exact",
+    "token_counts",
+    "ngram_jaccard",
+    "minhash_pairs",
+    "cosine_threshold",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("rasusa_spark_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus), 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm the JVM / Arrow path outside the timed region
+    qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -121,6 +121,59 @@ def tokens_raw_pdf(
     return pdf[["doc_id", "tokens", "n_tok", "source", "ts", "row_idx"]]
 
 
+ALIGNED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("chrom", T.StringType(), False),
+        T.StructField("start", T.LongType(), False),
+        T.StructField("end", T.LongType(), False),
+        T.StructField("segment", T.StringType(), False),  # 'first' | 'last'
+        T.StructField("n_tok", T.IntegerType(), False),
+        T.StructField("row_idx", T.LongType(), False),
+    ]
+)
+
+
+def aligned_reads_pdf(
+    n_per_chrom: int = 5000, chroms: int = 2, seed: int = 42, paired: bool = False
+) -> pd.DataFrame:
+    """FIXTURES.md §5: coordinate-sorted interval rows for the depth-cap
+    operator — lengths 100–1000, depth varying ~2–11 (the reference's
+    plasmid_2-like profile, stream.rs:460-467). ``paired`` duplicates every
+    template as first+last segments with shifted mate coordinates."""
+    rows = []
+    idx = 0
+    for c in range(chroms):
+        i = np.arange(n_per_chrom, dtype=np.uint64)
+        h = _splitmix64(i + np.uint64(seed + 1000 * c))
+        h2 = _splitmix64(i + np.uint64(seed + 7777 + 1000 * c))
+        # spacing tuned so instantaneous depth wanders between ~2 and ~11
+        gaps = (h % np.uint64(120)).astype(np.int64) + 10
+        starts = np.cumsum(gaps)
+        lengths = (h2 % np.uint64(901)).astype(np.int64) + 100
+        for j in range(n_per_chrom):
+            did = f"c{c}r{j:06d}"
+            rows.append(
+                (did, f"chrom{c}", int(starts[j]), int(starts[j] + lengths[j]),
+                 "first", int(lengths[j]), idx)
+            )
+            idx += 1
+            if paired:
+                rows.append(
+                    (did, f"chrom{c}", int(starts[j] + lengths[j] + 50),
+                     int(starts[j] + 2 * lengths[j] + 50), "last", int(lengths[j]), idx)
+                )
+                idx += 1
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "chrom", "start", "end", "segment", "n_tok", "row_idx"]
+    )
+    return pdf.sort_values(["chrom", "start"], kind="mergesort").reset_index(drop=True)
+
+
+def aligned_reads_df(spark: SparkSession, **kw) -> DataFrame:
+    return spark.createDataFrame(aligned_reads_pdf(**kw), schema=ALIGNED_SCHEMA)
+
+
 def tokens_raw_df(
     spark: SparkSession,
     n: int,

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark (north_rule: ≥0.8 throughput scaling
+efficiency between N and 4N executors; sandbox proxy = the same job at
+local[8] vs local[32] on identical input).
+
+Pipeline under test (the engine's production job):
+  read tokens_raw parquet → threshold budget-downsample per (source, day)
+  → continuous aggregates raw/1h/1d with gap-fill → metric blobs
+  → all sinks forced with noop writes.
+
+Throughput metric: input tokens/sec (sum of n_tok over the input divided by
+pipeline wall time) and rows/sec, per cluster size.
+
+Usage:
+  python scripts/scale_bench.py                 # orchestrates 8 then 32
+  python scripts/scale_bench.py --run-one 8     # single measurement (JSON)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DATA_DIR = os.path.join(REPO, ".data", "tokens_raw_bench")
+N_ROWS = int(os.environ.get("SCALE_BENCH_ROWS", 20_000_000))
+SHUFFLE_PARTS = 64  # fixed across cluster sizes so only parallelism varies
+
+
+def ensure_data() -> None:
+    if os.path.exists(os.path.join(DATA_DIR, "_SUCCESS")):
+        return
+    from rasusa_spark.session import get_spark
+    from rasusa_spark.synth import tokens_raw_df
+
+    spark = get_spark("scale_bench_gen", master="local[32]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    # n_tok is real; token arrays are empty — the selection/rollup pipeline
+    # never reads them (columnar pruning), so the measured path is identical
+    df = tokens_raw_df(spark, N_ROWS, with_tokens=False, partitions=64)
+    df.write.mode("overwrite").parquet(DATA_DIR)
+    spark.stop()
+
+
+def run_one(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from rasusa_spark.codecs.blobs import compress_metric_streams
+    from rasusa_spark.operators.downsample import downsample
+    from rasusa_spark.operators.rollup import rollup_all_tiers
+    from rasusa_spark.session import get_spark
+
+    spark = get_spark(
+        f"scale_bench_{cpus}", master=f"local[{cpus}]", shuffle_partitions=SHUFFLE_PARTS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(DATA_DIR).select("doc_id", "n_tok", "source", "ts")
+    totals = df.agg(
+        F.sum(F.col("n_tok").cast("long")), F.count(F.lit(1))
+    ).collect()[0]
+    total_tokens, total_rows = int(totals[0]), int(totals[1])
+
+    # warmup (JIT/codegen/Arrow) on a small slice
+    downsample(
+        df.limit(100_000).withColumn("bucket_start", F.date_trunc("day", "ts")),
+        seed=1, group_cols=("source", "bucket_start"), mode="bases",
+        bases=1_000_000, strategy="threshold",
+    ).write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    bucketed = df.withColumn("bucket_start", F.date_trunc("day", "ts"))
+    # selection materialized once (production persists or writes the kept
+    # set; every tier then reads the materialized selection, not its lineage)
+    kept = downsample(
+        bucketed,
+        seed=42,
+        group_cols=("source", "bucket_start"),
+        mode="bases",
+        bases=50_000_000,
+        strategy="threshold",
+    ).persist()
+    kept.count()
+    tiers = rollup_all_tiers(kept.drop("bucket_start"))
+    h1 = tiers["1h"].persist()  # 1d + blobs reuse the 1h aggregate
+    tiers["raw"].write.format("noop").mode("overwrite").save()
+    h1.write.format("noop").mode("overwrite").save()
+    tiers["1d"].write.format("noop").mode("overwrite").save()
+    compress_metric_streams(h1).write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "wall_sec": round(wall, 3),
+        "rows": total_rows,
+        "tokens": total_tokens,
+        "rows_per_sec": round(total_rows / wall),
+        "tokens_per_sec": round(total_tokens / wall),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run-one", type=int, default=None)
+    ap.add_argument("--cpu-list", default="8,32")
+    args = ap.parse_args()
+
+    ensure_data()
+    if args.run_one:
+        print(json.dumps(run_one(args.run_one)))
+        return
+
+    results = []
+    for cpus in [int(c) for c in args.cpu_list.split(",")]:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-one", str(cpus)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        )
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        print(results[-1])
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["tokens_per_sec"] / lo["tokens_per_sec"]
+    eff = ratio / (hi["cpus"] / lo["cpus"])
+    summary = {
+        "results": results,
+        "speedup": round(ratio, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH", "scale_bench.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

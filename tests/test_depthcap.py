@@ -1,0 +1,91 @@
+"""Depth-cap operator tests — property analogs of the reference's
+stream.rs:333-508 statistical tests and mod.rs:387-487 pairing tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rasusa_spark.operators.depthcap import (
+    check_sorted,
+    coverage_depth_stats,
+    depth_cap,
+)
+from rasusa_spark.synth import aligned_reads_df
+
+TARGET = 5
+
+
+@pytest.fixture(scope="module")
+def reads(spark):
+    df = aligned_reads_df(spark, n_per_chrom=2000, chroms=2).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def paired_reads(spark):
+    df = aligned_reads_df(spark, n_per_chrom=800, chroms=2, paired=True).cache()
+    df.count()
+    return df
+
+
+def test_input_fixture_is_sorted_and_deep(spark, reads):
+    assert check_sorted(reads) == 0
+    stats = {r.chrom: r for r in coverage_depth_stats(reads).collect()}
+    assert all(s.max_depth > TARGET for s in stats.values()), "fixture too shallow"
+
+
+def test_output_depth_never_exceeds_target(spark, reads):
+    """stream.rs:333-414 analog: survivors' coverage ≤ target everywhere."""
+    out = depth_cap(reads, TARGET, seed=42)
+    stats = coverage_depth_stats(out).collect()
+    for r in stats:
+        assert r.max_depth <= TARGET, f"{r.chrom}: depth {r.max_depth} > {TARGET}"
+
+
+def test_output_depth_close_to_target(spark, reads):
+    """stream.rs:417-508 analog: deep input ⇒ realized depth ≈ target."""
+    out = depth_cap(reads, TARGET, seed=42)
+    stats = coverage_depth_stats(out).collect()
+    for r in stats:
+        assert r.max_depth >= TARGET - 1, f"{r.chrom}: max {r.max_depth} ≪ {TARGET}"
+
+
+def test_determinism_across_partitioning(spark, reads):
+    a = sorted(r.doc_id for r in depth_cap(reads, TARGET, seed=7).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in depth_cap(reads.repartition(13), TARGET, seed=7).select("doc_id").collect()
+    )
+    assert a == b
+    c = sorted(r.doc_id for r in depth_cap(reads, TARGET, seed=8).select("doc_id").collect())
+    assert a != c  # different seed → different survivors
+
+
+def test_paired_mates_together(spark, paired_reads):
+    """mod.rs:387-487 analog: every surviving template keeps BOTH segments."""
+    out = depth_cap(paired_reads, TARGET, seed=42, paired=True, segment_col="segment")
+    seg_counts = (
+        out.groupBy("doc_id").agg(F.collect_set("segment").alias("segs")).collect()
+    )
+    assert seg_counts, "no survivors"
+    for r in seg_counts:
+        assert sorted(r.segs) == ["first", "last"], f"{r.doc_id}: split template"
+
+
+def test_paired_target_halved(spark, paired_reads):
+    """A5: sweep runs at target//2 on first segments only."""
+    out = depth_cap(paired_reads, TARGET, seed=42, paired=True, segment_col="segment")
+    firsts = out.where(F.col("segment") == "first")
+    stats = coverage_depth_stats(firsts).collect()
+    for r in stats:
+        assert r.max_depth <= TARGET // 2
+
+
+def test_swap_distance_zero_disables_eviction(spark, reads):
+    """swap_distance=0 ⇒ only same-position swaps; still ≤ target depth."""
+    out = depth_cap(reads, TARGET, seed=42, swap_distance=0)
+    for r in coverage_depth_stats(out).collect():
+        assert r.max_depth <= TARGET
