@@ -1,0 +1,76 @@
+"""Incremental rollup maintenance and Structured Streaming ingestion tests
+(SURVEY §2.10: watermark-per-bucket, batch-incremental recomputation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rasusa_spark.operators.rollup import rollup
+from rasusa_spark.streaming.incremental import merge_rollup_increment, streaming_rollup
+from rasusa_spark.synth import TOKENS_SCHEMA, tokens_raw_df
+
+
+@pytest.fixture(scope="module")
+def raw4k(spark):
+    df = tokens_raw_df(spark, 4000, with_tokens=False, partitions=4).cache()
+    df.count()
+    return df
+
+
+def _rows(df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "source", "bucket_start", "n_tok_sum", "row_count", "n_tok_min", "n_tok_max"
+        ).collect()
+    )
+
+
+def test_incremental_merge_equals_batch(spark, raw4k, tmp_path):
+    """Folding two increments must equal one batch rollup bit-for-bit."""
+    state = str(tmp_path / "state")
+    first = raw4k.where(F.col("row_idx") < 2000)
+    second = raw4k.where(F.col("row_idx") >= 2000)
+    merge_rollup_increment(spark, first, state, tier="1h")
+    merged = merge_rollup_increment(spark, second, state, tier="1h", allow_late=True)
+    batch = rollup(raw4k, "1h")
+    assert _rows(merged) == _rows(batch)
+
+
+def test_incremental_rejects_late_buckets(spark, raw4k, tmp_path):
+    state = str(tmp_path / "state")
+    # row_idx split correlates with ts only weakly, so late buckets exist
+    merge_rollup_increment(
+        spark, raw4k.where(F.col("row_idx") < 2000), state, tier="1h"
+    )
+    with pytest.raises(ValueError, match="late bucket"):
+        merge_rollup_increment(
+            spark, raw4k.where(F.col("row_idx") >= 2000), state, tier="1h"
+        )
+
+
+def test_structured_streaming_rollup(spark, raw4k, tmp_path):
+    """availableNow streaming run over a file source produces closed-bucket
+    aggregates matching the batch rollup for those buckets."""
+    inp = str(tmp_path / "in")
+    raw4k.write.mode("overwrite").parquet(inp)
+    q = streaming_rollup(
+        spark,
+        inp,
+        str(tmp_path / "ck"),
+        str(tmp_path / "out"),
+        schema=TOKENS_SCHEMA,
+        tier="1h",
+        watermark="1 hour",
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    batch = rollup(raw4k, "1h")
+    got = _rows(out)
+    # append mode emits only buckets closed by the final watermark
+    want = {r[:2]: r for r in _rows(batch)}
+    assert len(got) > 0
+    for row in got:
+        assert want[row[:2]] == row, f"streaming bucket {row[:2]} != batch"
