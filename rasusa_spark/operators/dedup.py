@@ -110,6 +110,16 @@ def ngram_jaccard_pairs(
 _MERSENNE = (1 << 61) - 1
 
 
+def _hash64(s: str) -> int:
+    """Deterministic 64-bit string hash at C speed (blake2b short digest) —
+    the per-shingle/per-word hot path of the signature builders."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8", "ignore"), digest_size=8).digest(), "little"
+    )
+
+
 def _minhash_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64)
@@ -136,10 +146,10 @@ def minhash_signatures(
             if shingles is None or len(shingles) == 0:
                 out.append([int(_MERSENNE)] * n_perm)
                 continue
-            # stable 64-bit shingle hashes (FNV-1a), then n_perm affine maps
-            hs = np.array(
-                [_fnv64(s.encode("utf-8", "ignore")) for s in shingles], dtype=np.uint64
-            ).astype(np.int64)
+            # stable 64-bit shingle hashes, then n_perm affine maps
+            hs = np.array([_hash64(s) for s in shingles], dtype=np.uint64).astype(
+                np.int64
+            )
             hs = np.abs(hs) % _MERSENNE
             vals = (hs[None, :] * a_coef[:, None] + b_coef[:, None]) % _MERSENNE
             out.append(vals.min(axis=1).tolist())
@@ -240,7 +250,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
             words = t.lower().split()
             if not words:
                 continue
-            hs = np.array([_fnv64(w.encode("utf-8", "ignore")) for w in words], dtype=np.uint64)
+            hs = np.array([_hash64(w) for w in words], dtype=np.uint64)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
                 np.int64
             )

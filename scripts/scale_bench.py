@@ -29,8 +29,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 DATA_DIR = os.path.join(REPO, ".data", "tokens_raw_bench")
-N_ROWS = int(os.environ.get("SCALE_BENCH_ROWS", 20_000_000))
+N_ROWS = int(os.environ.get("SCALE_BENCH_ROWS", 160_000_000))
 SHUFFLE_PARTS = 64  # fixed across cluster sizes so only parallelism varies
+REPEATS = int(os.environ.get("SCALE_BENCH_REPEATS", 2))  # report best-of
 
 
 def ensure_data() -> None:
@@ -43,7 +44,7 @@ def ensure_data() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # n_tok is real; token arrays are empty — the selection/rollup pipeline
     # never reads them (columnar pruning), so the measured path is identical
-    df = tokens_raw_df(spark, N_ROWS, with_tokens=False, partitions=64)
+    df = tokens_raw_df(spark, N_ROWS, with_tokens=False, partitions=128)
     df.write.mode("overwrite").parquet(DATA_DIR)
     spark.stop()
 
@@ -65,6 +66,32 @@ def run_one(cpus: int) -> dict:
         F.sum(F.col("n_tok").cast("long")), F.count(F.lit(1))
     ).collect()[0]
     total_tokens, total_rows = int(totals[0]), int(totals[1])
+    retained_dir = os.path.join(REPO, ".data", f"retained_{cpus}")
+
+    def pipeline() -> float:
+        t0 = time.perf_counter()
+        bucketed = df.withColumn("bucket_start", F.date_trunc("day", "ts"))
+        kept = downsample(
+            bucketed,
+            seed=42,
+            group_cols=("source", "bucket_start"),
+            mode="bases",
+            bases=50_000_000,
+            strategy="threshold",
+        )
+        # production shape: retained rows land back in the table store;
+        # every tier then reads the materialized selection, not its lineage
+        kept.write.mode("overwrite").parquet(retained_dir)
+        kept_stored = spark.read.parquet(retained_dir)
+        tiers = rollup_all_tiers(kept_stored.drop("bucket_start"))
+        h1 = tiers["1h"].persist()  # 1d + blobs reuse the 1h aggregate
+        tiers["raw"].write.format("noop").mode("overwrite").save()
+        h1.write.format("noop").mode("overwrite").save()
+        tiers["1d"].write.format("noop").mode("overwrite").save()
+        compress_metric_streams(h1).write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        h1.unpersist()
+        return wall
 
     # warmup (JIT/codegen/Arrow) on a small slice
     downsample(
@@ -73,26 +100,7 @@ def run_one(cpus: int) -> dict:
         bases=1_000_000, strategy="threshold",
     ).write.format("noop").mode("overwrite").save()
 
-    t0 = time.perf_counter()
-    bucketed = df.withColumn("bucket_start", F.date_trunc("day", "ts"))
-    # selection materialized once (production persists or writes the kept
-    # set; every tier then reads the materialized selection, not its lineage)
-    kept = downsample(
-        bucketed,
-        seed=42,
-        group_cols=("source", "bucket_start"),
-        mode="bases",
-        bases=50_000_000,
-        strategy="threshold",
-    ).persist()
-    kept.count()
-    tiers = rollup_all_tiers(kept.drop("bucket_start"))
-    h1 = tiers["1h"].persist()  # 1d + blobs reuse the 1h aggregate
-    tiers["raw"].write.format("noop").mode("overwrite").save()
-    h1.write.format("noop").mode("overwrite").save()
-    tiers["1d"].write.format("noop").mode("overwrite").save()
-    compress_metric_streams(h1).write.format("noop").mode("overwrite").save()
-    wall = time.perf_counter() - t0
+    wall = min(pipeline() for _ in range(REPEATS))
     spark.stop()
     return {
         "cpus": cpus,
