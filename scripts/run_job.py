@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the production downsample+rollup job
+(north_rule: "run via spark-submit --py-files on a multi-executor cluster").
+
+Package + submit:
+
+    cd /root/repo && zip -r /tmp/rasusa_spark.zip rasusa_spark
+    spark-submit --py-files /tmp/rasusa_spark.zip scripts/run_job.py \\
+        --input  <tokens table location> \\
+        --output <retained table location> \\
+        --checkpoint <commit-log location> \\
+        --mode bases --bases 50000000 --seed 42 --run-id run-001
+
+The job is resumable: rerunning with the same checkpoint skips committed
+(source, bucket) partitions (rasusa_spark.plans.checkpoint)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--mode", default="bases", choices=["bases", "num", "frac", "one_pass"])
+    ap.add_argument("--bases", type=int)
+    ap.add_argument("--coverage", type=float)
+    ap.add_argument("--genome-size", type=str, help="e.g. 4.2mb (metric suffix)")
+    ap.add_argument("--num", type=int)
+    ap.add_argument("--frac", type=float)
+    ap.add_argument("--seed", type=int, required=True)
+    ap.add_argument("--strategy", default="threshold")
+    ap.add_argument("--rollup", action="store_true", help="also maintain 1h/1d tiers")
+    args = ap.parse_args()
+
+    # imports resolve from --py-files on executors
+    from rasusa_spark import sampler
+    from rasusa_spark.codecs.blobs import compress_metric_streams
+    from rasusa_spark.operators.rollup import rollup_all_tiers
+    from rasusa_spark.plans.checkpoint import DownsampleJob, read_retained, run_downsample_job
+    from rasusa_spark.sources.table import read_tokens_table
+
+    spark = SparkSession.builder.appName(f"rasusa_spark:{args.run_id}").getOrCreate()
+
+    bases = args.bases
+    if bases is None and args.coverage and args.genome_size:
+        gsize = sampler.parse_metric_size(args.genome_size)
+        bases = sampler.target_bases_from_coverage(gsize, args.coverage)
+
+    job = DownsampleJob(
+        seed=args.seed,
+        mode=args.mode,
+        bases=bases,
+        num=args.num,
+        frac=args.frac,
+        strategy=args.strategy,
+    )
+    df = read_tokens_table(spark, args.input)
+    commits = run_downsample_job(
+        spark, df, job, args.output, args.checkpoint, run_id=args.run_id
+    )
+    print(f"committed {commits.count()} buckets this run")
+
+    if args.rollup:
+        kept = read_retained(spark, args.output)
+        tiers = rollup_all_tiers(kept)
+        for name, tier_df in tiers.items():
+            tier_df.write.mode("overwrite").parquet(
+                os.path.join(args.output, f"rollup_{name}")
+            )
+        compress_metric_streams(tiers["1h"]).write.mode("overwrite").parquet(
+            os.path.join(args.output, "metric_blobs_1h")
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Table layout + spark-submit job entry tests (M9)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from rasusa_spark.sources.table import read_tokens_table, write_tokens_table
+from rasusa_spark.synth import tokens_raw_df
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_partition_layout_and_pruning(spark, tmp_path):
+    df = tokens_raw_df(spark, 2000, with_tokens=False, partitions=4)
+    loc = str(tmp_path / "tokens")
+    write_tokens_table(df, loc, mode="overwrite")
+    dirs = glob.glob(os.path.join(loc, "source=*", "bucket_day=*"))
+    assert dirs, "expected source=/bucket_day= hive layout"
+
+    back = read_tokens_table(spark, loc)
+    assert back.count() == 2000
+    # partition pruning: a source+day filter must prune the scan
+    one = back.where(F.col("source") == "wiki")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one.count() < 2000
+
+
+def test_run_job_cli(spark, tmp_path):
+    """The spark-submit entry runs standalone (local master) end-to-end."""
+    df = tokens_raw_df(spark, 1500, with_tokens=False, partitions=2)
+    inp = str(tmp_path / "in")
+    write_tokens_table(df, inp, mode="overwrite")
+    env = dict(os.environ, SPARK_GRAFT_MASTER="local[2]", PYTHONPATH=REPO)
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_job.py"),
+            "--input", inp,
+            "--output", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ck"),
+            "--run-id", "t1",
+            "--mode", "bases",
+            "--coverage", "2.0",
+            "--genome-size", "1.5kb",
+            "--seed", "11",
+            "--rollup",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "committed" in out.stdout
+    assert os.path.exists(str(tmp_path / "out" / "rollup_1h"))
+    assert os.path.exists(str(tmp_path / "out" / "metric_blobs_1h"))
