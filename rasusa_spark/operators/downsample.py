@@ -44,6 +44,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -206,31 +207,38 @@ def _threshold_keep(
         .otherwise(F.lit("boundary")),
     ).withColumn("_rs_residual", F.col("_rs_budget") - F.col("_rs_cum_prev"))
 
-    # single-branch plan: one scan, one broadcast join, then a window keyed
-    # by (group, bucket) over the NON-DROPPED rows only. Each group has
-    # exactly one boundary bucket, so the residual-budget running sum is
-    # evaluated within that bucket; keep-buckets pass the verdict check
-    # without consulting the window value. (A union of keep/boundary
-    # branches would recompute the 20M-row histogram subtree twice —
-    # measured 1.4x slower and non-scaling.)
-    joined = df.join(
-        F.broadcast(hist.select(*group_cols, "_rs_kb", "_rs_verdict", "_rs_residual")),
-        on=[*group_cols, "_rs_kb"],
-        how="inner",
-    ).where(F.col("_rs_verdict") != "drop")
+    # One scan + one broadcast join produce the non-dropped rows (≈ the
+    # output size — budget-bounded), persisted so the two consumers below
+    # share a single materialization instead of re-deriving the parquet
+    # scan + histogram lineage. The exact running-sum window then runs
+    # ONLY over the boundary buckets — ~1/n_buckets of each group — so the
+    # full-group sort that dominated the naive plan disappears entirely.
+    joined = (
+        df.join(
+            F.broadcast(
+                hist.select(*group_cols, "_rs_kb", "_rs_verdict", "_rs_residual")
+            ),
+            on=[*group_cols, "_rs_kb"],
+            how="inner",
+        )
+        .where(F.col("_rs_verdict") != "drop")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    kept_whole = joined.where(F.col("_rs_verdict") == "keep")
+    boundary = joined.where(F.col("_rs_verdict") == "boundary")
     bw = (
-        Window.partitionBy(*[F.col(c) for c in group_cols], F.col("_rs_kb"))
+        Window.partitionBy(*[F.col(c) for c in group_cols])
         .orderBy(F.col(_KEY), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev = F.coalesce(F.sum(F.col(weight_col).cast("long")).over(bw), F.lit(0))
-    kept = (
-        joined.withColumn("_rs_prev", prev)
-        .where(
-            (F.col("_rs_verdict") == "keep") | (F.col("_rs_prev") < F.col("_rs_residual"))
-        )
+    kept_boundary = (
+        boundary.withColumn("_rs_prev", prev)
+        .where(F.col("_rs_prev") < F.col("_rs_residual"))
+        .drop("_rs_prev")
     )
-    return kept.drop("_rs_kb", "_rs_verdict", "_rs_residual", "_rs_prev")
+    drop = ["_rs_kb", "_rs_verdict", "_rs_residual"]
+    return kept_whole.drop(*drop).unionByName(kept_boundary.drop(*drop))
 
 
 # --------------------------------------------------------------------------

@@ -31,7 +31,11 @@ sys.path.insert(0, REPO)
 DATA_DIR = os.path.join(REPO, ".data", "tokens_raw_bench")
 N_ROWS = int(os.environ.get("SCALE_BENCH_ROWS", 160_000_000))
 SHUFFLE_PARTS = 64  # fixed across cluster sizes so only parallelism varies
-REPEATS = int(os.environ.get("SCALE_BENCH_REPEATS", 2))  # report best-of
+REPEATS = int(os.environ.get("SCALE_BENCH_REPEATS", 3))  # report best-of
+# Retained rows land on tmpfs: on a real cluster the sink is object storage
+# whose aggregate bandwidth scales with executor count, so a fixed-bandwidth
+# local disk would understate scaling by design, not by algorithm.
+SINK_DIR = os.environ.get("SCALE_BENCH_SINK", "/dev/shm/rasusa_bench")
 
 
 def ensure_data() -> None:
@@ -66,9 +70,10 @@ def run_one(cpus: int) -> dict:
         F.sum(F.col("n_tok").cast("long")), F.count(F.lit(1))
     ).collect()[0]
     total_tokens, total_rows = int(totals[0]), int(totals[1])
-    retained_dir = os.path.join(REPO, ".data", f"retained_{cpus}")
+    retained_dir = os.path.join(SINK_DIR, f"retained_{cpus}")
 
     def pipeline() -> float:
+        spark.catalog.clearCache()  # repeats must re-materialize, not hit cache
         t0 = time.perf_counter()
         bucketed = df.withColumn("bucket_start", F.date_trunc("day", "ts"))
         kept = downsample(
@@ -93,14 +98,21 @@ def run_one(cpus: int) -> dict:
         h1.unpersist()
         return wall
 
-    # warmup (JIT/codegen/Arrow) on a small slice
-    downsample(
+    # warmup (JIT/codegen/Arrow + Python UDF worker pool) on a small slice
+    small = downsample(
         df.limit(100_000).withColumn("bucket_start", F.date_trunc("day", "ts")),
         seed=1, group_cols=("source", "bucket_start"), mode="bases",
         bases=1_000_000, strategy="threshold",
+    )
+    small.write.format("noop").mode("overwrite").save()
+    compress_metric_streams(
+        rollup_all_tiers(small.drop("bucket_start"), fill=False)["1h"]
     ).write.format("noop").mode("overwrite").save()
 
     wall = min(pipeline() for _ in range(REPEATS))
+    import shutil
+
+    shutil.rmtree(retained_dir, ignore_errors=True)
     spark.stop()
     return {
         "cpus": cpus,
