@@ -110,6 +110,116 @@ def depth_cap(
     return df.join(F.broadcast(survivor_ids), on=id_col, how="left_semi")
 
 
+def depth_cap_fetch(
+    df: DataFrame,
+    target_depth: int,
+    *,
+    seed: int,
+    step_size: int = 100,
+    chrom_col: str = "chrom",
+    start_col: str = "start",
+    end_col: str = "end",
+    id_col: str = "doc_id",
+    segment_col: str | None = None,
+    paired: bool = False,
+) -> DataFrame:
+    """Indexed-fetch depth-cap strategy (reference src/alignment/fetch.rs:59-284):
+    walk sample positions along each chromosome; at each position take the
+    reads overlapping it (shuffled — full shuffle at the first position,
+    per-equal-start group shuffle after, util.rs:15-33), emit up to the
+    remaining capacity, track active ends in a min-heap, advance to
+    min(step, next end boundary); ends release capacity. Depth of survivors
+    never exceeds the target (the active set is capacity-bounded).
+
+    Physical shape: the reference's ``reader.query(region)`` random access
+    maps to a partition-pruned range scan; in the applyInPandas kernel the
+    chromosome partition plays the role of the batch cache
+    (fetch.rs:130-158). Parallel across chromosomes, like ``depth_cap``.
+    """
+    import heapq as _hq
+
+    effective_depth = get_target_depth(target_depth, paired)
+    sweep_input = df
+    if paired:
+        if segment_col is None:
+            raise ValueError("paired mode needs segment_col")
+        sweep_input = df.where(F.col(segment_col) == "first")
+
+    cols = [id_col, chrom_col, start_col, end_col]
+    out_schema = T.StructType([df.schema[id_col]])
+
+    def fetch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([start_col, id_col], kind="mergesort")
+        starts = pdf[start_col].to_numpy(dtype=np.int64)
+        ends = pdf[end_col].to_numpy(dtype=np.int64)
+        ids = pdf[id_col].to_numpy()
+        if len(pdf) == 0:
+            return pd.DataFrame({id_col: []})
+        import zlib
+
+        chrom = str(pdf[chrom_col].iloc[0])
+        # stable across processes (Python's str hash is salted per process)
+        rng = np.random.RandomState(
+            (seed * 1_000_003 + zlib.crc32(chrom.encode())) % (2**32)
+        )
+        chrom_len = int(ends.max())
+        next_pos = int(starts.min())
+        first_pos = next_pos
+        n_needed = effective_depth
+        current: set = set()
+        heap: list[tuple[int, object]] = []
+        survivors: list = []
+        while True:
+            hi = int(np.searchsorted(starts, next_pos, side="right"))
+            cand = [
+                k for k in range(hi) if ends[k] >= next_pos and ids[k] not in current
+            ]
+            if cand:
+                if next_pos == first_pos:
+                    rng.shuffle(cand)
+                else:
+                    # group-shuffle runs of equal start positions only
+                    cand_arr = np.array(cand)
+                    out = []
+                    for s in np.unique(starts[cand_arr]):
+                        grp = [k for k in cand if starts[k] == s]
+                        rng.shuffle(grp)
+                        out.extend(grp)
+                    cand = out
+            num_out = 0
+            for k in reversed(cand):
+                if num_out >= n_needed:
+                    break
+                current.add(ids[k])
+                _hq.heappush(heap, (int(ends[k]), ids[k]))
+                survivors.append(ids[k])
+                num_out += 1
+            n_needed -= num_out
+            if n_needed > 0:
+                min_end = heap[0][0] if heap else None
+                jump = (
+                    min(step_size, max(min_end - next_pos, 0))
+                    if min_end is not None
+                    else step_size
+                )
+                next_pos += max(jump, 1)
+            while heap:
+                end, rid = _hq.heappop(heap)
+                next_pos = end + 1
+                current.discard(rid)
+                n_needed += 1
+                if not heap or heap[0][0] != end:
+                    break
+            if next_pos >= chrom_len:
+                break
+        return pd.DataFrame({id_col: survivors})
+
+    survivor_ids = (
+        sweep_input.select(*cols).groupBy(chrom_col).applyInPandas(fetch, out_schema)
+    )
+    return df.join(F.broadcast(survivor_ids), on=id_col, how="left_semi")
+
+
 def coverage_depth_stats(
     df: DataFrame,
     chrom_col: str = "chrom",

@@ -84,6 +84,41 @@ def test_paired_target_halved(spark, paired_reads):
         assert r.max_depth <= TARGET // 2
 
 
+def test_fetch_strategy_depth_near_target(spark, reads):
+    """A2 (fetch.rs) analog. Unlike the sweep (hard cap), fetch is an
+    approximate sampler: at a jump position it may admit reads extending
+    backward over already-released intervals, so depth can transiently
+    overshoot (true of the reference too — its fetch tests check statistics,
+    not a hard cap). We check mean ≈ target, bounded overshoot, determinism."""
+    from rasusa_spark.operators.depthcap import depth_cap_fetch
+
+    out = depth_cap_fetch(reads, TARGET, seed=42)
+    stats = coverage_depth_stats(out).collect()
+    for r in stats:
+        assert r.max_depth <= 2 * TARGET
+        assert TARGET - 2 <= r.mean_event_depth <= TARGET + 2
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in depth_cap_fetch(reads.repartition(7), TARGET, seed=42)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_fetch_paired_mates_together(spark, paired_reads):
+    from pyspark.sql import functions as F
+
+    from rasusa_spark.operators.depthcap import depth_cap_fetch
+
+    out = depth_cap_fetch(
+        paired_reads, TARGET, seed=42, paired=True, segment_col="segment"
+    )
+    for r in out.groupBy("doc_id").agg(F.collect_set("segment").alias("s")).collect():
+        assert sorted(r.s) == ["first", "last"]
+
+
 def test_swap_distance_zero_disables_eviction(spark, reads):
     """swap_distance=0 ⇒ only same-position swaps; still ≤ target depth."""
     out = depth_cap(reads, TARGET, seed=42, swap_distance=0)
