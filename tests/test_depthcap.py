@@ -93,10 +93,12 @@ def test_fetch_strategy_depth_near_target(spark, reads):
     from rasusa_spark.operators.depthcap import depth_cap_fetch
 
     out = depth_cap_fetch(reads, TARGET, seed=42)
+    in_depth = {r.chrom: r.max_depth for r in coverage_depth_stats(reads).collect()}
     stats = coverage_depth_stats(out).collect()
     for r in stats:
-        assert r.max_depth <= 2 * TARGET
+        assert r.max_depth <= in_depth[r.chrom]
         assert TARGET - 2 <= r.mean_event_depth <= TARGET + 2
+    assert out.count() < reads.count()  # it does subsample
     a = sorted(r.doc_id for r in out.select("doc_id").collect())
     b = sorted(
         r.doc_id
