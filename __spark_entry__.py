@@ -65,9 +65,14 @@ def _li_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _li_key_expr():
-    return (F.col("l_orderkey") * _KNUTH + F.col("l_linenumber") * 40503) % F.lit(
+    """Oracle-expressible uniform key. The raw Knuth hash lives in [0, 2^32);
+    the affine rescale spreads it over the full int64 range so the threshold
+    strategy's key-space bucketing sees a uniform key — the rescale is
+    monotone, so ORDER BY is unchanged and the SQL oracle keeps the raw key."""
+    k32 = (F.col("l_orderkey") * _KNUTH + F.col("l_linenumber") * 40503) % F.lit(
         4294967296
     )
+    return (k32 - F.lit(2147483648)) * F.lit(4294967296)
 
 
 _ROLLUP_COLS = [
