@@ -207,6 +207,45 @@ def q_onepass_thin(spark, sf_dir):
     return ev.where(u < 0.25).select("event_id", "event_type", "user_id")
 
 
+def q_rollup_raw_minute(spark, sf_dir):
+    """Raw (minute) tier — the finest continuous aggregate."""
+    ev = _events_cents(spark, sf_dir)
+    return rollup(ev, "raw", group_cols=("event_type",)).select(*_ROLLUP_COLS)
+
+
+def q_template_length_sum(spark, sf_dir):
+    """P1 template variant (source.rs:304-335): per-template length sum —
+    lineitem lines grouped by their order."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty_sum"),
+    )
+
+
+def q_orders_without_lineitems(spark, sf_dir):
+    """C9-adjacent anti-join: orders with no lineitem rows (count-mismatch
+    detection as anti-join emptiness, SURVEY §2.6)."""
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.join(li, on="o_orderkey", how="left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+
+def q_frac_k_arithmetic(spark, sf_dir):
+    """C3 frac→k rounding (round half away from zero) as a per-group value."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.floor(F.lit(0.25) * F.count(F.lit(1)) + F.lit(0.5)).alias("k_25pct"),
+    )
+
+
 def q_semi_join_survivors(spark, sf_dir):
     """Mate-recovery analog (A4): broadcast left-semi join of lineitem onto
     the surviving order set."""
@@ -394,6 +433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_topk": q_downsample_topk,
         "downsample_frac": q_downsample_frac,
         "onepass_thin": q_onepass_thin,
+        "rollup_raw_minute": q_rollup_raw_minute,
+        "template_length_sum": q_template_length_sum,
+        "orders_without_lineitems": q_orders_without_lineitems,
+        "frac_k_arithmetic": q_frac_k_arithmetic,
         "semi_join_survivors": q_semi_join_survivors,
         "pricing_summary": q_pricing_summary,
         "top_per_group": q_top_per_group,
@@ -490,6 +533,23 @@ FROM c WHERE rn <= floor(0.25*n + 0.5)
         "onepass_thin": f"""
 SELECT event_id, event_type, user_id FROM events
 WHERE ((event_id*{_KNUTH}) % 4294967296) / 4294967296.0 < 0.25
+""",
+        "rollup_raw_minute": _ROLLUP_SQL.format(ev=_EV_CENTS, unit="minute"),
+        "template_length_sum": """
+SELECT l_orderkey, count(*) AS n_segments,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum
+FROM lineitem GROUP BY 1
+""",
+        "orders_without_lineitems": """
+SELECT o_orderstatus, count(*) AS n_orphans
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = orders.o_orderkey)
+GROUP BY 1
+""",
+        "frac_k_arithmetic": """
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(floor(0.25*count(*) + 0.5) AS BIGINT) AS k_25pct
+FROM lineitem GROUP BY 1
 """,
         "semi_join_survivors": """
 SELECT l_returnflag, count(*) AS n_rows,

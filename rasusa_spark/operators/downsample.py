@@ -263,15 +263,29 @@ def downsample(
     strategy: str = "threshold",
     derive_group_seeds: bool = True,
     key_expr=None,
+    probability: float | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Retain a random subset of ``df`` per group, per the given mode.
 
     Returns the retained rows with all original columns. Deterministic in
     (seed, group values, row identity) — never in partition layout, so the
     result is identical at any executor count (SURVEY §2.11).
+
+    ``probability`` is the reference's ``-p`` shorthand (reads.rs:202-207):
+    it rewrites to one-pass + frac. ``strict`` enables the reference's
+    strict-mode validations (reads.rs:473-491, 543-549): error when the
+    requested bases/num/frac exceed what the input holds (one extra
+    aggregate over the group stats — driver-side assertion).
     """
     group_cols = list(group_cols)
     original_cols = df.columns
+
+    if probability is not None:
+        mode, frac = "one_pass", probability
+
+    if strict and mode in ("bases", "num", "frac"):
+        _strict_checks(df, group_cols, mode, bases, coverage, genome_size, num, frac)
 
     if mode == "one_pass":
         if frac is None:
@@ -333,6 +347,62 @@ def downsample(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     return out.select(*original_cols)
+
+
+def _strict_checks(
+    df: DataFrame,
+    group_cols: list[str],
+    mode: str,
+    bases,
+    coverage,
+    genome_size,
+    num,
+    frac,
+) -> None:
+    """Strict-mode validations per group (reads.rs:473-491, 543-549)."""
+    stats = df.groupBy(*group_cols).agg(
+        F.sum(F.col("n_tok").cast("long")).alias("_tot"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    if mode == "bases":
+        budget = resolve_budget(bases, coverage, genome_size)
+        bad = stats.where(F.col("_tot") < budget).limit(1).collect()
+        if bad:
+            g = bad[0]
+            raise sampler.StrictModeError(
+                f"Requested number of bases ({budget}) is more than the input "
+                f"({g._tot}) for group {tuple(g[c] for c in group_cols)}"
+            )
+    elif mode == "num":
+        bad = stats.where(F.col("_n") < int(num)).limit(1).collect()
+        if bad:
+            g = bad[0]
+            raise sampler.StrictModeError(
+                f"Requested number of reads ({num}) is more than the input "
+                f"({g._n}) for group {tuple(g[c] for c in group_cols)}"
+            )
+    elif mode == "frac":
+        f32 = sampler.normalize_fraction(frac)
+        bad = stats.where(
+            F.floor(F.lit(f32) * F.col("_n") + F.lit(0.5)) == 0
+        ).limit(1).collect()
+        if bad:
+            g = bad[0]
+            raise sampler.StrictModeError(
+                f"Requested fraction of reads ({frac} * {g._n}) was rounded to 0 "
+                f"for group {tuple(g[c] for c in group_cols)}"
+            )
+
+
+def realized_coverage_report(
+    df_out: DataFrame, genome_size: int, requested_coverage: float | None = None
+) -> tuple[float, bool]:
+    """C10 (reads.rs:632-647): realized coverage = kept tokens / genome size;
+    returns (coverage, met_request)."""
+    total = df_out.agg(F.sum(F.col("n_tok").cast("long"))).collect()[0][0] or 0
+    cov = total / float(genome_size)
+    met = requested_coverage is None or np.float32(cov) >= np.float32(requested_coverage)
+    return cov, met
 
 
 def _one_pass(df: DataFrame, frac: float, order_col: str) -> DataFrame:

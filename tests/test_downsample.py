@@ -161,6 +161,29 @@ def test_one_pass_hash_frac(spark, raw1k):
     assert one_pass_hash(raw1k, seed=13, frac=0.5).count() == n
 
 
+def test_strict_mode_and_probability_shorthand(spark, raw1k):
+    from rasusa_spark.sampler import StrictModeError
+    from rasusa_spark.operators.downsample import realized_coverage_report
+
+    # strict num: forums group has < 5000 rows
+    with pytest.raises(StrictModeError, match="more than the input"):
+        downsample(raw1k, seed=1, mode="num", num=5000, strict=True)
+    # strict bases: budget above any group's total
+    with pytest.raises(StrictModeError, match="more than the input"):
+        downsample(raw1k, seed=1, mode="bases", bases=10**12, strict=True)
+    # non-strict succeeds and keeps everything
+    out = downsample(raw1k, seed=1, mode="bases", bases=10**12)
+    assert out.count() == raw1k.count()
+
+    # probability= rewrites to one-pass frac (reads.rs:202-207)
+    a = downsample(raw1k, seed=2, probability=0.5, mode="frac")
+    b = downsample(raw1k, seed=2, mode="one_pass", frac=0.5)
+    assert kept_ids(a) == kept_ids(b)
+
+    cov, met = realized_coverage_report(out, genome_size=1000, requested_coverage=1.0)
+    assert cov > 1.0 and met
+
+
 def test_selection_metrics(spark, raw1k):
     out = downsample(raw1k, seed=7, mode="num", num=50, strategy="threshold")
     m = selection_metrics(raw1k, out, ["source"]).collect()

@@ -100,3 +100,14 @@ def test_jump_ahead_matches_sequential():
 def test_vectorized_bernoulli_matches_golden(seed, expected):
     keep = pcg64_bernoulli_keys(seed, np.arange(16), 0.5)
     assert [i + 1 for i in range(16) if keep[i]] == expected
+
+
+@pytest.mark.parametrize("p", [0.1, 0.25, 0.5, 0.9])
+def test_one_pass_realized_fraction_accuracy(p):
+    """Accuracy-sweep analog of the reference's benches/one_pass_accuracy.py
+    (benches/README.md: worst miss 0.14pp at 1M reads, p=0.5): realized
+    fraction at 100k draws within 0.5pp of the request."""
+    n = 100_000
+    keep = pcg64_bernoulli_keys(42, np.arange(n), p)
+    realized = keep.sum() / n
+    assert abs(realized - p) < 0.005
