@@ -150,6 +150,68 @@ def lsh_bucket_topk(
     return cosine_topk(cand, query, k, vec_col, id_col)
 
 
+def ivf_build_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a bounded driver-side sample (the
+    standard IVF training recipe — training is O(sample), independent of
+    table size; assignment below stays distributed). Returns (n_cells, dim)."""
+    rows = df.select(vec_col).limit(sample).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        sims = mat @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents / np.maximum(norms, 1e-12)
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Distributed cell assignment (one matmul per Arrow batch). At 100 TB
+    the table is written partitioned by ``ivf_cell`` so probing becomes
+    partition pruning."""
+    cents = centroids
+
+    @F.pandas_udf("int")
+    def cell(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ cents.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn("ivf_cell", cell(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score the query against the coarse centroids, scan only
+    the ``nprobe`` nearest cells, exact cosine within them."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = [int(c) for c in (centroids @ q).argsort()[::-1][:nprobe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.where(F.col("ivf_cell").isin(probe_cells))
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,127 @@
+"""Custom stateful streaming operator: per-(source, bucket) budget
+downsampling over an unbounded stream via ``applyInPandasWithState``.
+
+The batch engine selects a random prefix of a key-ordered permutation
+(operators/downsample.py); the streaming form is the reference's one-pass
+posture (fastx.rs:124-126: single pass, constant memory, decide-as-you-go)
+applied to ByBases semantics: rows are decided in ARRIVAL order, each group
+carries ``(kept_rows, kept_tokens)`` state across micro-batches, and a row
+is kept while the group's cumulative kept tokens are still below the
+budget — the crossing row is kept (subsampler.rs:83-91), everything after
+it in the stream is dropped. State is a two-long struct per open bucket —
+bounded by the number of open buckets, not by rows (the engine analog of
+rasusa's constant-memory guarantee).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("kept_rows", T.LongType()),
+        T.StructField("kept_tokens", T.LongType()),
+    ]
+)
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("bucket_start", T.TimestampType()),
+    ]
+)
+
+
+def _budget_fn(budget: int):
+    def decide(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        kept_rows, kept_tokens = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if kept_tokens >= budget:
+                break
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                if kept_tokens >= budget:
+                    break
+                out_rows.append(row)
+                kept_tokens += int(row.n_tok)
+                kept_rows += 1
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=list(pdf.columns))
+        state.update((kept_rows, kept_tokens))
+
+    return decide
+
+
+def streaming_budget_downsample(
+    spark,
+    input_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    schema: T.StructType,
+    budget: int,
+    bucket_unit: str = "day",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """File-source stream → per-(source, bucket) stateful budget cap →
+    parquet sink. Returns the StreamingQuery."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(input_path).withColumn(
+        "bucket_start", F.date_trunc(bucket_unit, F.col("ts"))
+    )
+    decided = (
+        stream.select("doc_id", "n_tok", "source", "ts", "bucket_start")
+        .groupBy("source", "bucket_start")
+        .applyInPandasWithState(
+            _budget_fn(budget),
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        decided.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def batch_equivalent_budget(
+    df: DataFrame, budget: int, bucket_unit: str = "day"
+) -> DataFrame:
+    """Arrival-order batch reference for the streaming operator (same
+    semantics, single batch): keep while the running sum over row order is
+    below the budget."""
+    from pyspark.sql import Window
+
+    b = df.withColumn("bucket_start", F.date_trunc(bucket_unit, F.col("ts")))
+    w = (
+        Window.partitionBy("source", "bucket_start")
+        .orderBy("row_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum(F.col("n_tok").cast("long")).over(w), F.lit(0))
+    return (
+        b.withColumn("_prev", prev)
+        .where(F.col("_prev") < budget)
+        .drop("_prev")
+    )

@@ -122,6 +122,18 @@ def test_lsh_bucket_topk_overlaps_exact(spark, embs):
     assert len(exact & approx) >= 2
 
 
+def test_ivf_topk(spark, embs):
+    from rasusa_spark.operators.similarity import ivf_build_centroids, ivf_topk
+
+    cents = ivf_build_centroids(embs, n_cells=8, sample=500)
+    assert cents.shape == (8, 64)
+    row = embs.limit(1).collect()[0]
+    got = ivf_topk(embs, list(row.embedding), cents, k=5, nprobe=3).collect()
+    assert got[0].vec_id == row.vec_id and got[0].cosine > 0.999  # finds self
+    exact = {r.vec_id for r in cosine_topk(embs, list(row.embedding), k=5).collect()}
+    assert len(exact & {r.vec_id for r in got}) >= 2  # approximate overlap
+
+
 def test_embedding_near_duplicates_self(spark, embs):
     doubled = embs.limit(40).union(
         embs.limit(40).withColumn("vec_id", F.col("vec_id") + 100000)

@@ -51,6 +51,51 @@ def test_incremental_rejects_late_buckets(spark, raw4k, tmp_path):
         )
 
 
+def test_stateful_streaming_budget(spark, raw4k, tmp_path):
+    """applyInPandasWithState budget cap: state carries kept-token totals
+    across micro-batches; per-bucket kept sums satisfy the crossing rule."""
+    from rasusa_spark.streaming.stateful import streaming_budget_downsample
+    from rasusa_spark.synth import TOKENS_SCHEMA
+
+    inp = str(tmp_path / "sin")
+    # two files → (with maxFilesPerTrigger=1) two micro-batches sharing state
+    raw4k.where(F.col("row_idx") < 2000).coalesce(1).write.parquet(f"{inp}/a")
+    raw4k.where(F.col("row_idx") >= 2000).coalesce(1).write.parquet(f"{inp}/b")
+    budget = 100_000
+    q = streaming_budget_downsample(
+        spark,
+        f"{inp}/*",
+        str(tmp_path / "sck"),
+        str(tmp_path / "sout"),
+        schema=TOKENS_SCHEMA,
+        budget=budget,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "sout"))
+    got = (
+        out.groupBy("source", "bucket_start")
+        .agg(F.sum("n_tok").alias("s"), F.max("n_tok").alias("m"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    totals = {
+        (r.source, r.b): r.t
+        for r in raw4k.select(
+            "source", F.date_trunc("day", "ts").alias("b"), "n_tok"
+        )
+        .groupBy("source", "b")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    assert got, "stateful stream kept nothing"
+    for r in got:
+        total = totals[(r.source, r.bucket_start)]
+        if total <= budget:
+            assert r.s == total  # under-budget bucket keeps everything
+        else:
+            assert budget <= r.s < budget + r.m  # crossing row kept, then stop
+
+
 def test_structured_streaming_rollup(spark, raw4k, tmp_path):
     """availableNow streaming run over a file source produces closed-bucket
     aggregates matching the batch rollup for those buckets."""
