@@ -77,10 +77,27 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
-    """Exact Jaccard similarity over word n-gram shingle sets, computed as
-    shingle-join intersection counts — |A∩B| via the join, |A|,|B| via
-    per-doc counts; no pairwise loop. Returns (id_a, id_b, jaccard ≥ t)."""
+    """Exact Jaccard similarity over word n-gram shingle sets. Returns
+    (id_a, id_b, jaccard ≥ t) — identical results on both paths:
+
+    - ``prefix_filter=True`` (the high-threshold web-scale path):
+      AllPairs-style prefix filtering (Bayardo et al., WWW'07): order every
+      doc's shingles by global document frequency (rarest first); any pair
+      with jaccard ≥ t MUST collide inside the first ⌊(1−t)·|X|⌋+1 shingles
+      of each side, so candidates come from joining only those prefixes,
+      then exact verification via array intersection. The prefix shrinks
+      as t grows — at near-dup thresholds the join touches only rare
+      shingles.
+    - ``prefix_filter=False``: full shingle self-join + group counts —
+      cheaper when t is low (the prefix would cover most of each doc).
+    - default ``None``: auto — prefix filtering for t ≥ 0.5.
+    """
+    if prefix_filter is None:
+        prefix_filter = threshold >= 0.5
+    if prefix_filter:
+        return _jaccard_prefix_filtered(df, n, threshold, text_col, id_col)
     sh = word_shingles(df, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
@@ -94,6 +111,67 @@ def ngram_jaccard_pairs(
     out = (
         inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def _jaccard_prefix_filtered(
+    df: DataFrame, n: int, threshold: float, text_col: str, id_col: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    sh = word_shingles(df, n, text_col, id_col)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        sh.join(dfreq, on="shingle")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("_df"), F.col("shingle"))
+            ),
+        )
+        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    prefix = ranked.where(
+        F.col("_rn") <= F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1
+    ).select(id_col, "shingle")
+
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("shingle")).alias("_sh"),
+        F.count(F.lit(1)).alias("_sz"),
+    )
+    out = (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_sh").alias("_sh_a"),
+                F.col("_sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_sh").alias("_sh_b"),
+                F.col("_sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
         .withColumn(
             "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         )

@@ -65,6 +65,17 @@ def test_ngram_jaccard_self_similarity(spark, docs):
     assert all(i not in long_ids for i in missing)
 
 
+def test_prefix_filter_equals_naive_jaccard(spark, docs):
+    """AllPairs prefix filtering must return the IDENTICAL pair set as the
+    full self-join (it is an exact algorithm, not an approximation)."""
+    for t in (0.3, 0.6):
+        fast = ngram_jaccard_pairs(docs, threshold=t, prefix_filter=True)
+        naive = ngram_jaccard_pairs(docs, threshold=t, prefix_filter=False)
+        a = sorted((r.id_a, r.id_b, r.jaccard) for r in fast.collect())
+        b = sorted((r.id_a, r.id_b, r.jaccard) for r in naive.collect())
+        assert a == b, f"threshold {t}: prefix-filtered != naive"
+
+
 def test_minhash_lsh_finds_clones(spark, docs):
     doubled = docs.limit(50).union(
         docs.limit(50).withColumn("doc_id", F.col("doc_id") + 100000)
