@@ -59,15 +59,25 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document (explode over a sliding
-    window of the token array — JVM-side transform/slice, no Python)."""
-    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    window of the token array — JVM-side transform/slice, no Python).
+
+    The split/normalize expression is materialized as a column FIRST:
+    referencing the raw expression inside the per-gram ``transform`` lambda
+    would inline (and re-execute) the regexp+split once per gram — measured
+    ~30x slower on 50-word docs."""
+    words_expr = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    with_words = df.select(F.col(id_col), words_expr.alias("_words")).where(
+        F.size("_words") >= n
+    )
+    words = F.col("_words")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
-    return (
-        df.where(F.size(words) >= n)
-        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    return with_words.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
