@@ -179,6 +179,25 @@ def test_lang_id_heuristic(spark):
     assert preds == [lang for _, lang in samples]
 
 
+def test_rolling_fingerprint(spark, docs):
+    from rasusa_spark.operators.text import rolling_fingerprint_udf
+
+    fp = rolling_fingerprint_udf()
+    sub = docs.limit(30).select("doc_id", fp(F.col("text")).alias("fp"))
+    rows = sub.collect()
+    assert all(len(r.fp) == 32 for r in rows)
+    # deterministic across invocations
+    again = {r.doc_id: r.fp for r in sub.collect()}
+    assert all(again[r.doc_id] == r.fp for r in rows)
+    # robust to small edits: appending one char far from the kept windows
+    # usually preserves the winnowed minima — check on a long doc
+    long_doc = max(rows, key=lambda r: r.doc_id)
+    base = docs.where(F.col("doc_id") == long_doc.doc_id).collect()[0].text
+    df2 = spark.createDataFrame([(base,), (base + " x",)], "text string")
+    fps = [r.f for r in df2.select(fp(F.col("text")).alias("f")).collect()]
+    assert fps[0] == long_doc.fp
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media_df(spark, 64)
     feats = extract_features(media, deterministic_fake=True)
