@@ -108,7 +108,9 @@ def ngram_jaccard_pairs(
         prefix_filter = threshold >= 0.5
     if prefix_filter:
         return _jaccard_prefix_filtered(df, n, threshold, text_col, id_col)
-    sh = word_shingles(df, n, text_col, id_col)
+    # the shingle table feeds sizes + both join sides — persist so the plan
+    # materializes it once instead of re-deriving per consumer
+    sh = word_shingles(df, n, text_col, id_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -135,7 +137,7 @@ def _jaccard_prefix_filtered(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    sh = word_shingles(df, n, text_col, id_col)
+    sh = word_shingles(df, n, text_col, id_col).persist()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
         sh.join(dfreq, on="shingle")
@@ -243,11 +245,29 @@ def minhash_signatures(
             out.append(vals.min(axis=1).tolist())
         return pd.Series(out)
 
-    shingled = (
-        word_shingles(df, shingle_n, text_col, id_col)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("shingles"))
-    )
+    # shingle sets built in one Arrow pass (no oracle constrains the minhash
+    # path, so Python string ops beat the per-gram JVM slice here)
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def shingle_set(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            words = " ".join(t.lower().split()).split(" ")
+            if len(words) < shingle_n:
+                out.append([])
+                continue
+            out.append(
+                list(
+                    {
+                        " ".join(words[i : i + shingle_n])
+                        for i in range(len(words) - shingle_n + 1)
+                    }
+                )
+            )
+        return pd.Series(out)
+
+    shingled = df.select(
+        F.col(id_col), shingle_set(F.col(text_col)).alias("shingles")
+    ).where(F.size("shingles") > 0)
     return shingled.select(id_col, sig(F.col("shingles")).alias("signature"))
 
 
