@@ -401,8 +401,11 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """Simhash near-dup pairs at the standard 64-bit radius (Manku WWW'07:
+    k=3); banding into k+1=4 16-bit blocks gives EXACT recall by pigeonhole
+    (round-1 used radius 12 over 4 blocks — a recall hole, since fixed)."""
     docs = _load(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=12)
+    return simhash_pairs(docs, max_hamming=3)
 
 
 def q_lsh_topk(spark, sf_dir):

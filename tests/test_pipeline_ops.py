@@ -76,6 +76,32 @@ def test_prefix_filter_equals_naive_jaccard(spark, docs):
         assert a == b, f"threshold {t}: prefix-filtered != naive"
 
 
+def test_prefix_filter_skew_guard(spark):
+    """A stop-shingle present in EVERY doc must not blow up the prefix
+    join: rarest-first ordering puts it past the prefix cut, so candidate
+    volume stays bounded while the naive self-join would see n² rows on
+    that one key. Results must still equal the naive path exactly."""
+    from rasusa_spark.operators.dedup import _prefix_candidates, word_shingles
+
+    n_docs = 120
+    rows = [
+        # 8 unique words + a shared trailing trigram ("zz yy xx") per doc
+        (i, " ".join(f"w{i}_{j}" for j in range(8)) + " zz yy xx")
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    shh = word_shingles(df, 3).select("doc_id", F.xxhash64("shingle").alias("_shh"))
+    # every doc shares the hot shingle "zz yy xx" → naive join would emit
+    # n*(n-1)/2 = 7140 candidate rows for that key alone
+    cand = _prefix_candidates(shh, threshold=0.6, id_col="doc_id")
+    assert cand.count() < n_docs  # bounded, not quadratic
+    fast = ngram_jaccard_pairs(df, threshold=0.6, prefix_filter=True)
+    naive = ngram_jaccard_pairs(df, threshold=0.6, prefix_filter=False)
+    a = sorted((r.id_a, r.id_b, r.jaccard) for r in fast.collect())
+    b = sorted((r.id_a, r.id_b, r.jaccard) for r in naive.collect())
+    assert a == b
+
+
 def test_minhash_lsh_finds_clones(spark, docs):
     doubled = docs.limit(50).union(
         docs.limit(50).withColumn("doc_id", F.col("doc_id") + 100000)
@@ -95,6 +121,56 @@ def test_simhash_clones_zero_hamming(spark, docs):
     found = {(r.id_a, r.id_b): r.hamming for r in pairs}
     ids = [r.doc_id for r in docs.limit(40).select("doc_id").collect()]
     assert sum(found.get((i, i + 100000)) == 0 for i in ids) >= 0.9 * len(ids)
+
+
+def test_simhash_banding_exact_recall(spark):
+    """Round-1 defect regression: pairs at hamming 4..12 whose differing
+    bits are SPREAD so every 16-bit quarter differs must still be found —
+    banding into max_hamming+1 blocks guarantees recall by pigeonhole."""
+    import itertools
+
+    rows = []
+    expected = []
+    base = 0x0123456789ABCDEF
+    next_id = 0
+    for h in range(4, 13):
+        # spread h bit flips round-robin over the four 16-bit quarters,
+        # staggered by distance so every quarter gets ≥1 flip when h ≥ 4
+        flips = [(i % 4) * 16 + (i // 4) + h for i in range(h)]
+        sig = base
+        for b in flips:
+            sig ^= 1 << b
+        a_id, b_id = next_id, next_id + 1
+        next_id += 2
+        # int64 view of the uint64 signatures
+        def s64(v):
+            return v - (1 << 64) if v >= (1 << 63) else v
+        rows += [(a_id, s64(base)), (b_id, s64(sig))]
+        expected.append((a_id, b_id, h))
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    from rasusa_spark.operators.dedup import simhash_pairs_from_signatures
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs_from_signatures(sigs, max_hamming=12).collect()
+    }
+    for a, b, h in expected:
+        assert got.get((a, b)) == h, f"pair at hamming {h} missed"
+    # and n_chunks below the pigeonhole bound is rejected, never silent
+    with pytest.raises(ValueError, match="recall"):
+        simhash_pairs_from_signatures(sigs, max_hamming=12, n_chunks=4)
+    # exhaustive ground truth: every pair within radius is returned
+    all_rows = [(r[0], r[1]) for r in rows]
+    truth = {
+        (i, j)
+        for (i, si), (j, sj) in itertools.combinations(all_rows, 2)
+        if bin((si ^ sj) & ((1 << 64) - 1)).count("1") <= 12
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs_from_signatures(sigs, max_hamming=12).collect()
+    }
+    assert full == truth
 
 
 def test_cosine_topk_matches_numpy(spark, embs):
