@@ -60,6 +60,22 @@ N_KEY_BUCKETS = 1024
 _GSEED = "_rs_gseed"
 _KEY = "_rs_key"
 
+#: DataFrames persisted by the threshold strategy, pending release. A
+#: long-lived session that runs many threshold downsamples should call
+#: release_threshold_caches() once each result is materialized — the
+#: persist is needed only while the kept-whole and boundary branches of ONE
+#: query are both live (ADVICE r1: the round-1 version never unpersisted).
+_THRESHOLD_CACHES: list[DataFrame] = []
+
+
+def release_threshold_caches() -> None:
+    """Unpersist every cached subtree the threshold strategy has registered
+    since the last release. Safe to call at any time AFTER the downsample
+    results have been materialized (written / collected); calling it while a
+    result is still lazy merely costs a recompute, never correctness."""
+    while _THRESHOLD_CACHES:
+        _THRESHOLD_CACHES.pop().unpersist()
+
 
 def _with_group_seed(df: DataFrame, group_cols: list[str], seed: int, derive: bool) -> DataFrame:
     """Per-group seed = xxhash64(seed, group cols) — JVM-side, deterministic,
@@ -224,6 +240,7 @@ def _threshold_keep(
         .where(F.col("_rs_verdict") != "drop")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _THRESHOLD_CACHES.append(joined)
     kept_whole = joined.where(F.col("_rs_verdict") == "keep")
     boundary = joined.where(F.col("_rs_verdict") == "boundary")
     bw = (

@@ -12,8 +12,13 @@ Mechanics (all Spark-idiomatic, no driver loops over buckets):
    writing ``@PG`` lineage into output headers (alignment/header.rs:45-97).
 2. A (re)started run anti-joins its input against the committed buckets and
    processes only the remainder — in ONE distributed job, not per-bucket.
-3. Retained rows land in parquet partitioned by (source, bucket_day) with
-   dynamic partition overwrite, so a bucket interrupted mid-write is
+3. Retained rows land in parquet partitioned by (source, bucket_id), where
+   bucket_id is the full bucket_start timestamp rendered as a directory-safe
+   string — the physical partition IS the commit unit for ANY bucket_unit.
+   (Round 1 partitioned by calendar day regardless of unit: with
+   bucket_unit='hour' a resume's dynamic overwrite of one hour silently
+   deleted the sibling hours already committed in that day — ADVICE r1.)
+   Dynamic partition overwrite makes a bucket interrupted mid-write get
    rewritten identically on resume (selection is a pure function of
    (seed, source, bucket, doc_id) — partition layout and cluster size
    never change the outcome).
@@ -28,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.downsample import downsample
+from ..operators.downsample import downsample, release_threshold_caches
 
 COMMIT_SCHEMA = T.StructType(
     [
@@ -67,11 +72,20 @@ def _bucketed(df: DataFrame, unit: str) -> DataFrame:
 
 
 def read_commit_log(spark: SparkSession, checkpoint_path: str) -> DataFrame:
+    """Read the commit log; an ABSENT log means a fresh run (empty log), but
+    any other read failure (corruption, permissions) propagates — silently
+    reprocessing everything would append duplicate commit rows and break the
+    one-row-per-bucket lineage invariant (ADVICE r1)."""
+    from pyspark.errors import AnalysisException
+
     path = os.path.join(checkpoint_path, "commits")
     try:
         return spark.read.schema(COMMIT_SCHEMA).parquet(path)
-    except Exception:
-        return spark.createDataFrame([], COMMIT_SCHEMA)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", lambda: None)() or str(e)
+        if "PATH_NOT_FOUND" in str(cond):
+            return spark.createDataFrame([], COMMIT_SCHEMA)
+        raise
 
 
 def run_downsample_job(
@@ -112,10 +126,13 @@ def run_downsample_job(
         **kw,
     )
 
-    # data first (idempotent via dynamic partition overwrite), commits second
+    # data first (idempotent via dynamic partition overwrite), commits second;
+    # the partition key is the commit unit itself (see module docstring)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out = kept.withColumn("bucket_day", F.to_date("bucket_start"))
-    out.write.mode("overwrite").partitionBy("source", "bucket_day").parquet(
+    out = kept.withColumn(
+        "bucket_id", F.date_format("bucket_start", "yyyyMMdd'T'HHmmss")
+    )
+    out.write.mode("overwrite").partitionBy("source", "bucket_id").parquet(
         os.path.join(output_path, "retained")
     )
 
@@ -146,6 +163,9 @@ def run_downsample_job(
         .select([f.name for f in COMMIT_SCHEMA.fields])
     )
     new_commits.write.mode("append").parquet(os.path.join(checkpoint_path, "commits"))
+    # retained + commits are on disk — release the threshold strategy's
+    # cached subtree so long-lived sessions don't accumulate blocks
+    release_threshold_caches()
     return spark.read.parquet(os.path.join(checkpoint_path, "commits")).where(
         F.col("run_id") == run_id
     )

@@ -72,6 +72,32 @@ def test_commit_log_lineage_fields(spark, raw2k, tmp_path):
         assert c.n_tok_kept == c.n_tok_seen or c.n_tok_kept >= JOB.bases
 
 
+def test_hourly_bucket_unit_resume_keeps_sibling_hours(spark, raw2k, tmp_path):
+    """ADVICE r1 (medium) regression: with bucket_unit='hour' the physical
+    partition must be the commit unit itself — a resumed run's dynamic
+    partition overwrite must NOT delete other hours of the same day that
+    were committed by the interrupted run."""
+    job = DownsampleJob(seed=7, mode="bases", bases=3000, bucket_unit="hour")
+    single_out, single_ck = str(tmp_path / "so"), str(tmp_path / "sc")
+    run_downsample_job(spark, raw2k, job, single_out, single_ck, run_id="h0")
+    truth = _rows(read_retained(spark, single_out))
+    assert truth
+
+    res_out, res_ck = str(tmp_path / "ro"), str(tmp_path / "rc")
+    first = run_downsample_job(
+        spark, raw2k, job, res_out, res_ck, run_id="h1", max_buckets=5
+    )
+    assert first.count() == 5
+    run_downsample_job(spark, raw2k, job, res_out, res_ck, run_id="h2")
+    assert _rows(read_retained(spark, res_out)) == truth
+    # commit log holds every hour bucket exactly once
+    commits = read_commit_log(spark, res_ck)
+    n_buckets = (
+        raw2k.select("source", F.date_trunc("hour", "ts")).distinct().count()
+    )
+    assert commits.count() == n_buckets
+
+
 def test_rerun_after_completion_is_noop(spark, raw2k, tmp_path):
     out, ck = str(tmp_path / "o2"), str(tmp_path / "c2")
     run_downsample_job(spark, raw2k, JOB, out, ck, run_id="x1")

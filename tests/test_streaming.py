@@ -39,6 +39,43 @@ def test_incremental_merge_equals_batch(spark, raw4k, tmp_path):
     assert _rows(merged) == _rows(batch)
 
 
+def test_incremental_merge_touches_only_changed_partitions(spark, raw4k, tmp_path):
+    """O(delta) maintenance (round-1 weak #5 regression): merging an
+    increment that touches only the LATER days must not rewrite the earlier
+    days' partition files (checked by path+mtime), and the merged tier must
+    still equal the batch rollup bit-for-bit."""
+    import glob
+    import os
+
+    state = str(tmp_path / "state")
+    days = sorted(r[0] for r in raw4k.select(F.to_date("ts")).distinct().collect())
+    cut = days[len(days) // 2]
+    first = raw4k.where(F.to_date("ts") < F.lit(str(cut)))
+    second = raw4k.where(F.to_date("ts") >= F.lit(str(cut)))
+    merge_rollup_increment(spark, first, state, tier="1h")
+    store = os.path.join(state, "rollup_1h")
+
+    def snapshot():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{store}/bucket_part=*/*.parquet")
+        }
+
+    before = snapshot()
+    assert before, "first merge wrote no partition files"
+    merged = merge_rollup_increment(spark, second, state, tier="1h")
+    after = snapshot()
+    untouched = {d.strftime("%Y%m%d") for d in days if d < cut}
+    checked = 0
+    for p, mtime in before.items():
+        part = p.split("bucket_part=")[1].split("/")[0]
+        if part in untouched:
+            assert p in after and after[p] == mtime, f"untouched partition rewritten: {p}"
+            checked += 1
+    assert checked > 0, "no untouched partitions to verify"
+    assert _rows(merged) == _rows(rollup(raw4k, "1h"))
+
+
 def test_incremental_rejects_late_buckets(spark, raw4k, tmp_path):
     state = str(tmp_path / "state")
     # row_idx split correlates with ts only weakly, so late buckets exist
