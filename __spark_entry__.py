@@ -200,6 +200,27 @@ def q_downsample_frac(spark, sf_dir):
     return kept.select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
+def q_downsample_templates(spark, sf_dir):
+    """Two-pass template budget (reads.rs:451-463): per-order weight = sum
+    of line quantities; orders sampled under a bases budget; EVERY line of a
+    surviving order comes back (mates never split)."""
+    from rasusa_spark.operators.paired import downsample_templates
+
+    li = _li_keyed(spark, sf_dir)
+    k32 = (F.col("l_orderkey") * _KNUTH) % F.lit(4294967296)
+    kept = downsample_templates(
+        li,
+        seed=0,
+        mode="bases",
+        bases=200_000,
+        template_col="l_orderkey",
+        weight_col="w_qty",
+        strategy="threshold",
+        key_expr=(k32 - F.lit(2147483648)) * F.lit(4294967296),
+    )
+    return kept.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
 def q_onepass_thin(spark, sf_dir):
     """Order-free Bernoulli hash thinning (one-pass analog) on events."""
     ev = _load(spark, sf_dir, "events")
@@ -435,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_budget_threshold": q_downsample_budget_threshold,
         "downsample_topk": q_downsample_topk,
         "downsample_frac": q_downsample_frac,
+        "downsample_templates": q_downsample_templates,
         "onepass_thin": q_onepass_thin,
         "rollup_raw_minute": q_rollup_raw_minute,
         "template_length_sum": q_template_length_sum,
@@ -519,6 +541,19 @@ FROM s LEFT JOIN a USING (bucket_start)
 """,
         "downsample_budget": budget_sql,
         "downsample_budget_threshold": budget_sql,
+        "downsample_templates": f"""
+WITH t AS (SELECT l_orderkey,
+                  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w,
+                  (l_orderkey*{_KNUTH}) % 4294967296 AS k
+           FROM lineitem GROUP BY 1, 3),
+c AS (SELECT *, coalesce(sum(w) OVER (
+        ORDER BY k, l_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM t)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag
+FROM lineitem l JOIN c ON l.l_orderkey = c.l_orderkey
+WHERE c.prev < 200000
+""",
         "downsample_topk": f"""
 WITH t AS ({_LI_KEYED}),
 c AS (SELECT *, row_number() OVER (

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .. import sampler
 from ..rng import MASK64, pcg64_bernoulli_keys
-from .downsample import _GSEED, _with_group_seed
+from .downsample import _GSEED, _with_group_seed, downsample
 
 
 def check_paired_counts(df1: DataFrame, df2: DataFrame) -> None:
@@ -101,6 +101,73 @@ def one_pass_templates(
     d = d.withColumn("_tpl_ord", tpl_ord)
     keep = _keep_udf(frac)
     return d.where(keep(F.col(_GSEED), F.col("_tpl_ord"))).select(*original)
+
+
+def downsample_templates(
+    df: DataFrame,
+    *,
+    seed: int,
+    mode: str,
+    group_cols: tuple[str, ...] | list[str] = (),
+    bases: int | None = None,
+    coverage: float | None = None,
+    genome_size: int | None = None,
+    num: int | None = None,
+    frac: float | None = None,
+    template_col: str = "doc_id",
+    weight_col: str = "n_tok",
+    strategy: str = "threshold",
+    derive_group_seeds: bool = True,
+    key_expr=None,
+) -> DataFrame:
+    """Two-pass TEMPLATE-budget sampler — the paired `reads -n/-c` analog
+    (reads.rs:451-463: mate lengths are summed element-wise into one weight
+    per template before selection; source.rs:304-335 groups segments).
+
+    Pass 1 aggregates per-template weight = Σ segment weights (one map-side
+    combinable shuffle producing ONE skinny row per template — the engine
+    analog of the reference's lengths-only first pass). Selection then runs
+    over the template table with the template id as the sampling unit
+    (bases budget counts template weight; num counts templates; frac is a
+    fraction of templates). Pass 2 left-semi-joins every segment of the
+    surviving templates back, so mates can never split.
+
+    Deterministic in (seed, group, template id) — cluster-size-invariant.
+    Key-ordered strategies only ('window'/'threshold'); the bit-parity
+    'exact' strategy needs a template ordinal, which two-pass paired inputs
+    don't carry — use one_pass_paired / one_pass_templates for parity runs.
+    """
+    if strategy == "exact":
+        raise ValueError(
+            "downsample_templates supports key-ordered strategies "
+            "('window'/'threshold'); use one_pass_templates for exact parity"
+        )
+    group_cols = list(group_cols)
+    original = df.columns
+    tpl = df.groupBy(*group_cols, template_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_tpl_w")
+    )
+    kept_tpl = downsample(
+        tpl,
+        seed=seed,
+        group_cols=group_cols,
+        mode=mode,
+        bases=bases,
+        coverage=coverage,
+        genome_size=genome_size,
+        num=num,
+        frac=frac,
+        id_col=template_col,
+        weight_col="_tpl_w",
+        strategy=strategy,
+        derive_group_seeds=derive_group_seeds,
+        key_expr=key_expr,
+    )
+    return df.join(
+        kept_tpl.select(*group_cols, template_col),
+        on=[*group_cols, template_col],
+        how="left_semi",
+    ).select(*original)
 
 
 # --- guards (P3, P6, P7) ----------------------------------------------------

@@ -190,3 +190,29 @@ def test_selection_metrics(spark, raw1k):
     for r in m:
         assert r.kept_rows == 50
         assert 0 < r.realized_frac <= 1
+
+
+def test_threshold_many_groups_matches_window(spark):
+    """VERDICT r1 weak #7 regression: at 10^4 groups the (groups x buckets)
+    histogram must not be force-broadcast; the threshold strategy still
+    selects exactly the window strategy's set."""
+    from pyspark.sql import functions as F
+
+    from rasusa_spark.operators.downsample import downsample
+
+    n_groups, per_group = 10_000, 6
+    df = (
+        spark.range(n_groups * per_group)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % n_groups).cast("string").alias("grp"),
+            (F.col("id") % 97 + 10).cast("int").alias("n_tok"),
+        )
+    )
+    kw = dict(seed=3, group_cols=("grp",), mode="bases", bases=150,
+              id_col="doc_id", weight_col="n_tok")
+    got_t = downsample(df, strategy="threshold", **kw)
+    got_w = downsample(df, strategy="window", **kw)
+    a = sorted(r.doc_id for r in got_t.select("doc_id").collect())
+    b = sorted(r.doc_id for r in got_w.select("doc_id").collect())
+    assert a == b and len(a) > 0

@@ -92,3 +92,52 @@ def test_faidx_source(spark, tmp_path):
     fai = tmp_path / "ref.fa.fai"
     fai.write_text("chr1\t1000\t5\t60\t61\nchr2\t2500\t1100\t60\t61\n")
     assert genome_size_from_faidx(spark, str(fai)) == 3500
+
+
+def test_downsample_templates_never_splits_mates(spark):
+    """Two-pass template budget (reads.rs:451-463): per-template weight is
+    the mate-length sum; a surviving template brings back BOTH segments, and
+    the kept per-group template-weight total satisfies the budget crossing
+    rule (>= budget, or everything kept)."""
+    from rasusa_spark.operators.paired import downsample_templates
+
+    rows = []
+    for src in ("a", "b"):
+        for t in range(200):
+            for seg, w in (("first", 80 + t % 40), ("last", 90 + t % 30)):
+                rows.append((f"{src}-t{t:03d}", src, seg, w))
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, segment string, n_tok int"
+    )
+    budget = 10_000
+    kept = downsample_templates(
+        df, seed=5, mode="bases", bases=budget, group_cols=("source",),
+        strategy="threshold",
+    )
+    segs = kept.groupBy("doc_id").agg(F.collect_set("segment").alias("s")).collect()
+    assert segs, "nothing kept"
+    for r in segs:
+        assert sorted(r.s) == ["first", "last"], f"{r.doc_id}: split template"
+    # budget crossing per group over TEMPLATE weights: kept total crosses
+    # the budget (or keeps all), and by less than one template's weight
+    tpl_w = {
+        (r.source, r.doc_id): r.w
+        for r in df.groupBy("source", "doc_id").agg(F.sum("n_tok").alias("w")).collect()
+    }
+    kept_tpls = {
+        (r.source, r.doc_id)
+        for r in kept.select("source", "doc_id").distinct().collect()
+    }
+    for src in ("a", "b"):
+        kept_sum = sum(w for (s, t), w in tpl_w.items() if s == src and (s, t) in kept_tpls)
+        total = sum(w for (s, t), w in tpl_w.items() if s == src)
+        assert kept_sum >= min(budget, total)
+        assert kept_sum < budget + max(tpl_w.values()) or kept_sum == total
+    # window and threshold strategies select the identical template set
+    kept_w = downsample_templates(
+        df, seed=5, mode="bases", bases=budget, group_cols=("source",),
+        strategy="window",
+    )
+    assert sorted(tuple(r) for r in kept.collect()) == sorted(
+        tuple(r) for r in kept_w.collect()
+    )

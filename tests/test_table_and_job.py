@@ -30,6 +30,56 @@ def test_partition_layout_and_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan or one.count() < 2000
 
 
+def test_format_compression_inference(spark, tmp_path):
+    """S8 (format.rs:26-93, cli.rs:421-470): format + codec from the path,
+    trailing compression extension stripped first; one-letter codes; level
+    range validation; end-to-end write with inferred json+gzip."""
+    import pytest
+
+    from rasusa_spark.sources.formats import (
+        infer_compression,
+        infer_format,
+        parse_compression_format,
+        parse_level,
+        write_inferred,
+        writer_options,
+    )
+
+    assert infer_format("/a/b/data.parquet") == "parquet"
+    assert infer_format("out.jsonl.gz") == "json"
+    assert infer_format("x.csv.zst") == "csv"
+    assert infer_format("noext") is None
+    assert infer_compression("out.jsonl.gz") == "gzip"
+    assert infer_compression("x.csv.zst") == "zstd"
+    assert infer_compression("plain.csv") is None
+
+    # one-letter codes (cli.rs:421-431) and level range (cli.rs:443-470)
+    assert parse_compression_format("z") == "zstd"
+    assert parse_compression_format("U") == "none"
+    with pytest.raises(ValueError, match="invalid compression"):
+        parse_compression_format("q")
+    assert parse_level("21") == 21
+    for bad in ("0", "22", "x"):
+        with pytest.raises(ValueError, match="range 1-21"):
+            parse_level(bad)
+
+    # explicit args beat inference; invalid sink/codec combos fail loudly
+    fmt, opts = writer_options("d.csv.gz", output_format="json")
+    assert fmt == "json" and opts["compression"] == "gzip"
+    with pytest.raises(ValueError, match="not supported"):
+        writer_options("d.parquet.bz2")
+    fmt, opts = writer_options("d.parquet.zst", level=19)
+    assert opts["parquet.compression.codec.zstd.level"] == "19"
+
+    # end-to-end: inferred gzip json round-trips
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    dest = str(tmp_path / "out.jsonl.gz")
+    write_inferred(df, dest)
+    assert glob.glob(os.path.join(dest, "*.json.gz"))
+    back = spark.read.json(dest)
+    assert back.count() == 2
+
+
 def test_run_job_cli(spark, tmp_path):
     """The spark-submit entry runs standalone (local master) end-to-end."""
     df = tokens_raw_df(spark, 1500, with_tokens=False, partitions=2)
