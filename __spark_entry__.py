@@ -350,6 +350,27 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_quality_features(spark, sf_dir):
+    """Text quality features (length / punctuation / stopword hits) — pure
+    column expressions, SQL-expressible → full oracle."""
+    from rasusa_spark.operators.text import _STOPWORDS
+
+    docs = _load(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_tokens = token_count(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}]", ""))
+    stop_hits = F.size(
+        F.filter(F.split(F.lower(c), r"\s+"), lambda w: w.isin(*_STOPWORDS))
+    )
+    return docs.select(
+        "doc_id",
+        F.length(c).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct.alias("n_punct"),
+        stop_hits.alias("n_stop"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
@@ -468,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sortedness_check": q_sortedness_check,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
+        "quality_features": q_quality_features,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_threshold": q_cosine_threshold,
         "label_norms": q_label_norms,
@@ -628,6 +650,19 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,
        CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT)
            AS n_bpe_tokens
+FROM documents
+""",
+        "quality_features": r"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+       CAST(length(regexp_replace(text,
+            '[^.,;:!?''"()\[\]{}]', '', 'g')) AS INT) AS n_punct,
+       CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> list_contains(['the','a','an','and','or','of','to','in',
+                                'is','are','was','were','be','been','it',
+                                'this','that','for','on','with','as','at',
+                                'by'], x))) AS INT) AS n_stop
 FROM documents
 """,
         "ngram_jaccard": """

@@ -79,6 +79,31 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str
     )
 
 
+def word_shingles_hashed(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingle HASHES per document ``(id, _shh)`` — the
+    prefix-filter/minhash hot path. Never materializes shingle strings: each
+    gram is one ``xxhash64`` over its n word columns, so the per-gram cost is
+    a hash instead of an array_join string build plus a hash. Distinct grams
+    ↔ distinct hashes up to 64-bit collisions (~2⁻⁶⁴ per gram pair), the
+    same contract the hashed verification path already documents."""
+    words_expr = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    with_words = df.select(F.col(id_col), words_expr.alias("_words")).where(
+        F.size("_words") >= n
+    )
+    w = F.col("_words")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.xxhash64(*[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    return with_words.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("_shh")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -177,11 +202,7 @@ def _jaccard_prefix_filtered(
     shingles map to distinct hashes up to xxhash64 collisions (~2⁻⁶⁴ per
     shingle pair — below any realistic corpus's noise floor); a collision
     inside one doc pair's union would overcount the intersection by 1."""
-    shh = (
-        word_shingles(df, n, text_col, id_col)
-        .select(id_col, F.xxhash64("shingle").alias("_shh"))
-        .persist()
-    )
+    shh = word_shingles_hashed(df, n, text_col, id_col).persist()
     cand = _prefix_candidates(shh, threshold, id_col)
     sets = shh.groupBy(id_col).agg(
         F.sort_array(F.collect_set("_shh")).alias("_sh"),
@@ -230,8 +251,8 @@ def minhash_signatures(
     """Per-doc minhash signature (array<long>, length n_perm) over word
     shingles — 100 % JVM-side (whole-stage codegen, zero Python):
 
-    - shingles come from the exploded ``word_shingles`` table, hashed ONCE
-      per shingle with ``xxhash64(seed, shingle)``;
+    - shingles come from the exploded ``word_shingles_hashed`` table (one
+      xxhash64 per gram, no shingle strings), re-keyed with the seed;
     - the permutation family is derived by re-hashing the 64-bit value with
       ``xxhash64(h, i)`` per permutation index (hashing 8 bytes, not the
       string, per permutation);
@@ -243,9 +264,10 @@ def minhash_signatures(
     estimator (Broder '97); round 1 built the same estimator through a
     per-shingle Python hashlib loop — the top CPU cost of the whole bench
     (VERDICT r1 "What's wrong" #3)."""
-    sh = word_shingles(df, shingle_n, text_col, id_col)
+    sh = word_shingles_hashed(df, shingle_n, text_col, id_col)
     hashed = sh.select(
-        F.col(id_col), F.xxhash64(F.lit(int(seed)).cast("long"), F.col("shingle")).alias("_h")
+        F.col(id_col),
+        F.xxhash64(F.lit(int(seed)).cast("long"), F.col("_shh")).alias("_h"),
     )
     mins = hashed.groupBy(id_col).agg(
         *[

@@ -30,7 +30,10 @@ sys.path.insert(0, REPO)
 
 DATA_DIR = os.path.join(REPO, ".data", "tokens_raw_bench")
 N_ROWS = int(os.environ.get("SCALE_BENCH_ROWS", 160_000_000))
-SHUFFLE_PARTS = 64  # fixed across cluster sizes so only parallelism varies
+# fixed across cluster sizes so only parallelism varies
+SHUFFLE_PARTS = int(os.environ.get("SCALE_BENCH_SHUFFLE", 64))
+# scan-granularity tuning knob (spark.sql.files.maxPartitionBytes)
+MAX_PARTITION_BYTES = os.environ.get("SCALE_BENCH_MAX_PARTITION_BYTES")
 REPEATS = int(os.environ.get("SCALE_BENCH_REPEATS", 3))  # report best-of
 # Retained rows land on tmpfs: on a real cluster the sink is object storage
 # whose aggregate bandwidth scales with executor count, so a fixed-bandwidth
@@ -64,6 +67,8 @@ def run_one(cpus: int) -> dict:
     spark = get_spark(
         f"scale_bench_{cpus}", master=f"local[{cpus}]", shuffle_partitions=SHUFFLE_PARTS
     )
+    if MAX_PARTITION_BYTES:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", MAX_PARTITION_BYTES)
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(DATA_DIR).select("doc_id", "n_tok", "source", "ts")
     totals = df.agg(
