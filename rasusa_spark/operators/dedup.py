@@ -161,11 +161,18 @@ def ngram_jaccard_pairs(
 
 
 def _prefix_candidates(shh: DataFrame, threshold: float, id_col: str) -> DataFrame:
-    """AllPairs candidate generation (Bayardo WWW'07) over the hashed
-    shingle table ``(id, _shh)``: rank each doc's shingles by global
-    document frequency (rarest first), keep only the ⌊(1−t)·|X|⌋+1 prefix,
-    self-join the prefixes. Hot stop-shingles rank LAST so they fall outside
-    every prefix cut — the df-skew guard the naive self-join lacks."""
+    """AllPairs candidate generation with the PPJoin positional filter
+    (Bayardo WWW'07; Xiao et al. WWW'08) over the hashed shingle table
+    ``(id, _shh)``: rank each doc's shingles by global document frequency
+    (rarest first), keep only the ⌊(1−t)·|X|⌋+1 prefix, self-join the
+    prefixes. Hot stop-shingles rank LAST so they fall outside every prefix
+    cut — the df-skew guard the naive self-join lacks.
+
+    Positional filter (exact): at the pair's FIRST shared prefix position
+    (r_a, r_b), the intersection can never exceed 1 + min(|A|−r_a, |B|−r_b);
+    jaccard ≥ t needs |A∩B| ≥ ⌈t·(|A|+|B|)/(1+t)⌉, so pairs whose positional
+    upper bound misses that are dropped BEFORE the expensive set-
+    verification join. Size filter t·|B| ≤ |A| is implied by the same bound."""
     from pyspark.sql import Window
 
     dfreq = shh.groupBy("_shh").agg(F.count(F.lit(1)).alias("_df"))
@@ -181,16 +188,24 @@ def _prefix_candidates(shh: DataFrame, threshold: float, id_col: str) -> DataFra
     )
     prefix = ranked.where(
         F.col("_rn") <= F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1
-    ).select(id_col, "_shh")
-    return (
+    ).select(id_col, "_shh", "_rn", "_sz")
+    paired = (
         prefix.alias("a")
         .join(prefix.alias("b"), on="_shh")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
+        .agg(
+            F.min("a._rn").alias("_ra"),
+            F.min("b._rn").alias("_rb"),
+            F.first("a._sz").alias("_sa"),
+            F.first("b._sz").alias("_sb"),
+        )
     )
+    alpha = F.ceil(F.lit(threshold) * (F.col("_sa") + F.col("_sb")) / F.lit(1.0 + threshold))
+    ubound = F.lit(1) + F.least(F.col("_sa") - F.col("_ra"), F.col("_sb") - F.col("_rb"))
+    return paired.where(ubound >= alpha).select("id_a", "id_b")
 
 
 def _jaccard_prefix_filtered(
