@@ -402,6 +402,20 @@ def q_label_norms(spark, sf_dir):
     )
 
 
+def q_salted_rollup_1d(spark, sf_dir):
+    """Skew-safe two-phase aggregate (salted keys, north_rule): fan the hot
+    group over 32 salt reducers then re-aggregate — algebraic, so the result
+    is bit-equal to the plain 1d rollup (same oracle SQL)."""
+    from rasusa_spark.functions.salted import salted_agg
+
+    ev = _events_cents(spark, sf_dir).withColumn(
+        "bucket_start", F.date_trunc("day", F.col("ts"))
+    )
+    return salted_agg(
+        ev, ["event_type", "bucket_start"], n_salts=32, salt_col="event_id"
+    ).select(*_ROLLUP_COLS)
+
+
 def q_json_props(spark, sf_dir):
     """JSON scalar extraction over the events props column."""
     ev = _load(spark, sf_dir, "events")
@@ -492,7 +506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_threshold": q_cosine_threshold,
+        "cosine_topk": q_cosine_topk,
         "label_norms": q_label_norms,
+        "salted_rollup_1d": q_salted_rollup_1d,
         "json_props": q_json_props,
         # rows-only (exact-RNG parity / LSH approximations):
         "golden_num10_seed1": q_golden_num10_seed1,
@@ -500,7 +516,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
-        "cosine_topk": q_cosine_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -543,6 +558,7 @@ SELECT l_orderkey, l_linenumber, l_returnflag FROM c WHERE prev < 50000
         "rollup_1h": _ROLLUP_SQL.format(ev=_EV_CENTS, unit="hour"),
         "rollup_1d": _ROLLUP_SQL.format(ev=_EV_CENTS, unit="day"),
         "rollup_rerolled_1d": _ROLLUP_SQL.format(ev=_EV_CENTS, unit="day"),
+        "salted_rollup_1d": _ROLLUP_SQL.format(ev=_EV_CENTS, unit="day"),
         "gapfill_1h": f"""
 WITH ev AS (SELECT * FROM ({_EV_CENTS}) WHERE event_type = 'click'),
 b AS (SELECT date_trunc('hour', min(ts)) lo, date_trunc('hour', max(ts)) hi FROM ev),
@@ -699,4 +715,10 @@ SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
        count(*) AS n
 FROM events GROUP BY 1
 """,
+        "cosine_topk": (
+            "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], ["
+            + ",".join(["1.0"] * 64)
+            + "]), 6) AS cosine FROM embeddings "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
     }
