@@ -160,35 +160,52 @@ def ngram_jaccard_pairs(
     return out
 
 
-def _prefix_candidates(shh: DataFrame, threshold: float, id_col: str) -> DataFrame:
+def _ranked_doc_sets(shh: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc shingle sets ordered rarest-first:
+    ``(id, _lst: array<struct<_df,_shh>>, _sz)``.
+
+    ONE groupBy(id) aggregate feeds both the prefix explode and the exact
+    verification sets — round 2's first cut ran a ``row_number`` window
+    (an extra full-shingle shuffle + sort) AND a separate ``collect_set``
+    aggregate for verification; ``array_sort(collect_list(struct(_df,_shh)))``
+    gives the identical rarest-first order (struct comparison is
+    lexicographic) in the same pass that builds the sets."""
+    dfreq = shh.groupBy("_shh").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        shh.join(dfreq, on="_shh")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_df", "_shh"))).alias("_lst"),
+            F.count(F.lit(1)).alias("_sz"),
+        )
+    )
+
+
+def _prefix_candidates_from_docs(
+    docs: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
     """AllPairs candidate generation with the PPJoin positional filter
-    (Bayardo WWW'07; Xiao et al. WWW'08) over the hashed shingle table
-    ``(id, _shh)``: rank each doc's shingles by global document frequency
-    (rarest first), keep only the ⌊(1−t)·|X|⌋+1 prefix, self-join the
-    prefixes. Hot stop-shingles rank LAST so they fall outside every prefix
-    cut — the df-skew guard the naive self-join lacks.
+    (Bayardo WWW'07; Xiao et al. WWW'08) over ``_ranked_doc_sets`` output:
+    every doc's shingles are ordered by global document frequency (rarest
+    first); any pair with jaccard ≥ t MUST collide inside the first
+    ⌊(1−t)·|X|⌋+1 shingles of each side, so candidates come from self-joining
+    only those prefixes. Hot stop-shingles rank LAST so they fall outside
+    every prefix cut — the df-skew guard the naive self-join lacks.
 
     Positional filter (exact): at the pair's FIRST shared prefix position
     (r_a, r_b), the intersection can never exceed 1 + min(|A|−r_a, |B|−r_b);
     jaccard ≥ t needs |A∩B| ≥ ⌈t·(|A|+|B|)/(1+t)⌉, so pairs whose positional
     upper bound misses that are dropped BEFORE the expensive set-
     verification join. Size filter t·|B| ≤ |A| is implied by the same bound."""
-    from pyspark.sql import Window
-
-    dfreq = shh.groupBy("_shh").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = (
-        shh.join(dfreq, on="_shh")
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.col("_df"), F.col("_shh"))
-            ),
-        )
-        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    plen = (F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1).cast("int")
+    prefix = docs.select(
+        F.col(id_col), F.col("_sz"), F.posexplode(F.slice("_lst", F.lit(1), plen))
+    ).select(
+        id_col,
+        "_sz",
+        (F.col("pos") + 1).alias("_rn"),
+        F.col("col._shh").alias("_shh"),
     )
-    prefix = ranked.where(
-        F.col("_rn") <= F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1
-    ).select(id_col, "_shh", "_rn", "_sz")
     paired = (
         prefix.alias("a")
         .join(prefix.alias("b"), on="_shh")
@@ -208,6 +225,15 @@ def _prefix_candidates(shh: DataFrame, threshold: float, id_col: str) -> DataFra
     return paired.where(ubound >= alpha).select("id_a", "id_b")
 
 
+def _prefix_candidates(shh: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """Candidate pairs straight from a hashed shingle table ``(id, _shh)`` —
+    thin wrapper building the ranked doc sets first (kept for tests and
+    callers that already have the exploded table)."""
+    return _prefix_candidates_from_docs(
+        _ranked_doc_sets(shh, id_col), threshold, id_col
+    )
+
+
 def _jaccard_prefix_filtered(
     df: DataFrame, n: int, threshold: float, text_col: str, id_col: str
 ) -> DataFrame:
@@ -216,12 +242,20 @@ def _jaccard_prefix_filtered(
     keys, verification sets, and sizes are all 8 B/element. Distinct
     shingles map to distinct hashes up to xxhash64 collisions (~2⁻⁶⁴ per
     shingle pair — below any realistic corpus's noise floor); a collision
-    inside one doc pair's union would overcount the intersection by 1."""
-    shh = word_shingles_hashed(df, n, text_col, id_col).persist()
-    cand = _prefix_candidates(shh, threshold, id_col)
-    sets = shh.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("_shh")).alias("_sh"),
-        F.count(F.lit(1)).alias("_sz"),
+    inside one doc pair's union would overcount the intersection by 1.
+
+    Only the per-doc aggregate (one skinny row per doc) is persisted — it
+    feeds the prefix explode, the positional filter, AND both verification
+    sides. The exploded shingle table itself is never cached: at 100 TB it
+    is larger than the input, and recomputing its map-side scan twice (df
+    counts + the rank join) is cheaper than spilling it."""
+    shh = word_shingles_hashed(df, n, text_col, id_col)
+    docs = _ranked_doc_sets(shh, id_col).persist()
+    cand = _prefix_candidates_from_docs(docs, threshold, id_col)
+    sets = docs.select(
+        F.col(id_col),
+        F.transform("_lst", lambda s: s["_shh"]).alias("_sh"),
+        F.col("_sz"),
     )
     out = (
         cand.join(
