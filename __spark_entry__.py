@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rasusa_spark.operators.dedup import (  # noqa: E402
+    dedup_clusters,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -376,6 +377,17 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: ngram-jaccard pairs (t=0.3) closed
+    into connected components (operators/graph.py); every document labeled
+    with its cluster's minimum doc_id (docs in no pair are singletons).
+    Pairwise dedup alone over-deletes on chains A~B~C — the closure keeps
+    exactly one doc per component."""
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3).select("id_a", "id_b")
+    return dedup_clusters(docs, pairs)
+
+
 def q_cosine_threshold(spark, sf_dir):
     """Brute-force cosine vs the all-ones probe vector, thresholded (set
     semantics avoid top-k boundary-tie sensitivity)."""
@@ -505,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_features": q_quality_features,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "cosine_threshold": q_cosine_threshold,
         "cosine_topk": q_cosine_topk,
         "label_norms": q_label_norms,
@@ -695,6 +708,33 @@ inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
 SELECT id_a, id_b, round(i::DOUBLE/(s1.sz + s2.sz - i), 6) AS jaccard
 FROM inter JOIN sz s1 ON id_a = s1.doc_id JOIN sz s2 ON id_b = s2.doc_id
 WHERE i::DOUBLE/(s1.sz + s2.sz - i) >= 0.3
+""",
+        # connected components via DuckDB's recursive CTE: reach(node,label)
+        # holds every label that can reach node over the symmetric edge set;
+        # min(label) per node = the component's minimum doc_id.
+        "dedup_clusters": """
+WITH RECURSIVE words AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') w
+        FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM words, LATERAL UNNEST(generate_series(1, len(w)-2)) AS t(i)
+       WHERE len(w) >= 3),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sz s1 ON id_a = s1.doc_id JOIN sz s2 ON id_b = s2.doc_id
+          WHERE i::DOUBLE/(s1.sz + s2.sz - i) >= 0.3),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT src AS node, src AS label FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+SELECT d.doc_id AS doc_id, coalesce(m.label, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN
+  (SELECT node, min(label) AS label FROM reach GROUP BY 1) m
+ON d.doc_id = m.node
 """,
         "cosine_threshold": (
             "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], ["

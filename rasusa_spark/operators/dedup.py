@@ -511,6 +511,36 @@ def simhash_pairs_from_signatures(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from a pair table: transitively close the
+    pairs (connected components) and label every document with its cluster's
+    canonical id (the minimum doc id in the component). Documents in no pair
+    are their own singleton cluster. Returns ``(doc_id, cluster_id)`` —
+    ``where(cluster_id != doc_id)`` is the drop set, one retained doc per
+    cluster.
+
+    This is the step the pairwise dedup ops (minhash/simhash/jaccard) feed
+    at pipeline scale: pairs alone over-delete (A~B, B~C ⇒ dropping both B
+    and C needs the transitive closure to keep exactly one of {A,B,C})."""
+    from .graph import connected_components
+
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    return (
+        df.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,

@@ -102,6 +102,57 @@ def test_prefix_filter_skew_guard(spark):
     assert a == b
 
 
+def test_connected_components_known_graphs(spark):
+    from rasusa_spark.operators.graph import connected_components
+
+    # chain a-b-c-d (diameter 3, exercises pointer doubling), clique {x,y,z},
+    # isolated pair {p,q}
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"),
+         ("x", "y"), ("y", "z"), ("x", "z"),
+         ("q", "p")],
+        "id_a string, id_b string",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x", "z": "x", "p": "p", "q": "p"}
+
+
+def test_connected_components_empty_and_layout_invariant(spark):
+    from rasusa_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    assert connected_components(empty).count() == 0
+    # long chain 0-1-...-19: deep graph converges via shortcutting and the
+    # labels must not depend on partition layout
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "id_a long, id_b long"
+    )
+    for parts in (1, 7):
+        got = {
+            r.node: r.component
+            for r in connected_components(chain.repartition(parts)).collect()
+        }
+        assert got == {i: 0 for i in range(20)}
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """A~B and B~C must collapse to ONE cluster keeping exactly one doc —
+    the over-deletion trap pairwise dedup alone cannot see."""
+    from rasusa_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(d,) for d in "abcdef"], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("e", "d")], "id_a string, id_b string"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f"}
+    n_kept = len({v for v in got.values()})
+    assert n_kept == 3  # {a,b,c} -> 1, {d,e} -> 1, {f} -> 1
+
+
 def test_minhash_lsh_finds_clones(spark, docs):
     doubled = docs.limit(50).union(
         docs.limit(50).withColumn("doc_id", F.col("doc_id") + 100000)
