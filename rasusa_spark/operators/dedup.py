@@ -329,6 +329,66 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_oph(
+    df: DataFrame,
+    n_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-permutation minhash (Li, Owen, Zhang NIPS'12) with cyclic
+    rotation densification (Shrivastava & Li ICML'14) — the 100-TB scale
+    path for signature building:
+
+    - ONE xxhash64 per shingle (the classic builder re-hashes every shingle
+      ``n_perm`` times — at 10¹² docs those 64 hashes/shingle are the
+      dominant pipeline CPU);
+    - the hash value's residue mod ``n_perm`` picks a bin; per-bin minima
+      are ``n_perm`` conditional ``min()`` aggregates in one map-side-
+      combinable groupBy (comparisons, not hashes, per row);
+    - empty bins borrow the next non-empty bin's value cyclically —
+      densification keeps the collision-probability estimator unbiased.
+      The rotation runs JVM-side in ⌈log₂ n_perm⌉ coalesce rounds over
+      rotated copies of the signature array (doubling offsets 1,2,4,…), so
+      there is zero Python anywhere in the builder.
+
+    Signatures from this builder and the classic one estimate the SAME
+    Jaccard but are not bitwise comparable — use one builder consistently
+    within a table."""
+    sh = word_shingles_hashed(df, shingle_n, text_col, id_col)
+    hashed = sh.select(
+        F.col(id_col),
+        F.xxhash64(F.lit(int(seed)).cast("long"), F.col("_shh")).alias("_h"),
+    ).withColumn("_bin", F.pmod(F.col("_h"), F.lit(n_perm)).cast("int"))
+    mins = hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.when(F.col("_bin") == i, F.col("_h"))).alias(f"_m{i}")
+            for i in range(n_perm)
+        ]
+    )
+    # densify: offset-doubling cyclic fill — after rounds with shifts
+    # 1,2,4,... every bin holds the value of the nearest non-empty bin to
+    # its right (cyclically); ≥1 shingle per doc guarantees a non-empty bin.
+    # One projection per round keeps each round referencing a named column,
+    # not an inlined expression tree (which would triple per round).
+    out = mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(n_perm)]).alias("_sig"),
+    )
+    shift = 1
+    while shift < n_perm:
+        s = F.col("_sig")
+        rotated = F.concat(
+            F.slice(s, shift + 1, n_perm - shift), F.slice(s, 1, shift)
+        )
+        out = out.withColumn(
+            "_sig", F.zip_with(s, rotated, lambda a, b: F.coalesce(a, b))
+        )
+        shift *= 2
+    return out.select(F.col(id_col), F.col("_sig").alias("signature"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n_perm: int = 64,
@@ -338,12 +398,16 @@ def minhash_lsh_pairs(
     seed: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    one_perm: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over minhash
     signatures, verified by estimated Jaccard (signature agreement rate).
-    Returns (id_a, id_b, est_jaccard ≥ threshold)."""
+    Returns (id_a, id_b, est_jaccard ≥ threshold). ``one_perm=True``
+    switches the signature builder to one-permutation hashing with
+    densification (1 hash/shingle instead of n_perm — the 100-TB path)."""
     rows_per_band = n_perm // n_bands
-    sigs = minhash_signatures(df, n_perm, shingle_n, seed, text_col, id_col).cache()
+    build = minhash_signatures_oph if one_perm else minhash_signatures
+    sigs = build(df, n_perm, shingle_n, seed, text_col, id_col).cache()
 
     bands = sigs.select(
         id_col,

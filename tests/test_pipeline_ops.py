@@ -102,6 +102,39 @@ def test_prefix_filter_skew_guard(spark):
     assert a == b
 
 
+def test_oph_minhash_signatures_dense_and_clone_consistent(spark, docs):
+    """One-permutation signatures must have NO null slots (densification
+    fills empty bins) and byte-identical docs must get byte-identical
+    signatures."""
+    from rasusa_spark.operators.dedup import minhash_signatures_oph
+
+    # tiny docs (few shingles << 64 bins) force empty bins → exercises
+    # the rotation fill
+    tiny = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "one two three")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.signature for r in minhash_signatures_oph(tiny).collect()}
+    assert all(v is not None for sig in rows.values() for v in sig)
+    assert all(len(sig) == 64 for sig in rows.values())
+    assert rows[1] == rows[2]  # identical text → identical signature
+    assert rows[1] != rows[3]
+
+
+def test_oph_minhash_lsh_finds_clones(spark, docs):
+    """OPH-built LSH must find planted exact clones, same contract as the
+    classic builder."""
+    doubled = docs.limit(40).union(
+        docs.limit(40).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    pairs = minhash_lsh_pairs(doubled, threshold=0.9, one_perm=True).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    ids = [r.doc_id for r in docs.limit(40).select("doc_id").collect()]
+    hit = sum((i, i + 100000) in found for i in ids)
+    assert hit >= 0.9 * len(ids)
+
+
 def test_connected_components_known_graphs(spark):
     from rasusa_spark.operators.graph import connected_components
 
