@@ -28,6 +28,7 @@ from rasusa_spark.operators.dedup import (  # noqa: E402
     dedup_clusters,
     exact_duplicates,
     minhash_lsh_pairs,
+    ngram_contamination,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -377,6 +378,33 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
 
 
+def q_repetition_features(spark, sf_dir):
+    """Gopher-style intra-doc repetition quality filters."""
+    from rasusa_spark.operators.text import repetition_features
+
+    return repetition_features(_load(spark, sf_dir, "documents"))
+
+
+def q_redact_pii(spark, sf_dir):
+    """Email/phone scrub with counts; hashes on the redacted length."""
+    from rasusa_spark.operators.text import redact_pii
+
+    out = redact_pii(_load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_emails", "n_phones",
+        F.length("redacted").alias("n_chars_redacted"),
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Decontamination probe: every 20th doc acts as the 'benchmark' set;
+    remaining docs sharing ≥2 trigram shingles with any probe are flagged."""
+    docs = _load(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 20 == 0)
+    rest = docs.where(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(rest, probes, n=3, min_shared=2)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive near-dup clustering: ngram-jaccard pairs (t=0.3) closed
     into connected components (operators/graph.py); every document labeled
@@ -518,6 +546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "repetition_features": q_repetition_features,
+        "redact_pii": q_redact_pii,
+        "contamination": q_contamination,
         "cosine_threshold": q_cosine_threshold,
         "cosine_topk": q_cosine_topk,
         "label_norms": q_label_norms,
@@ -708,6 +739,58 @@ inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
 SELECT id_a, id_b, round(i::DOUBLE/(s1.sz + s2.sz - i), 6) AS jaccard
 FROM inter JOIN sz s1 ON id_a = s1.doc_id JOIN sz s2 ON id_b = s2.doc_id
 WHERE i::DOUBLE/(s1.sz + s2.sz - i) >= 0.3
+""",
+        "repetition_features": """
+WITH lines AS (SELECT doc_id,
+        list_filter(string_split(text, chr(10)), x -> trim(x) != '') l
+        FROM documents),
+lf AS (SELECT doc_id,
+       CASE WHEN len(l) > 0
+            THEN round((len(l) - len(list_distinct(l)))::DOUBLE / len(l), 6)
+            ELSE 0.0 END AS dup_line_frac
+       FROM lines),
+words AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') w
+        FROM documents),
+grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+          FROM words, LATERAL UNNEST(generate_series(1, len(w)-1)) AS t(i)
+          WHERE len(w) >= 2),
+pg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+gs AS (SELECT doc_id, sum(c) AS total,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+              max(c) AS top
+       FROM pg GROUP BY 1)
+SELECT l.doc_id AS doc_id, l.dup_line_frac,
+       round(coalesce(dup::DOUBLE / total, 0.0), 6) AS dup_2gram_frac,
+       round(coalesce(top::DOUBLE / total, 0.0), 6) AS top_2gram_frac
+FROM lf l LEFT JOIN gs ON l.doc_id = gs.doc_id
+""",
+        "redact_pii": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text,
+            '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS INT) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '[PHONE]', 'g')) AS INT)
+           AS n_chars_redacted
+FROM documents
+""",
+        "contamination": """
+WITH words AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') w
+        FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM words, LATERAL UNNEST(generate_series(1, len(w)-2)) AS t(i)
+       WHERE len(w) >= 3),
+probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+SELECT s.doc_id AS doc_id, count(*) AS shared_shingles
+FROM sh s JOIN probe p USING (shingle)
+WHERE s.doc_id % 20 <> 0
+GROUP BY 1
+HAVING count(*) >= 2
 """,
         # connected components via DuckDB's recursive CTE: reach(node,label)
         # holds every label that can reach node over the symmetric edge set;

@@ -575,6 +575,37 @@ def simhash_pairs_from_signatures(
     )
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check: documents sharing ≥ ``min_shared``
+    distinct word n-gram shingles with ANY probe document (the
+    decontamination pass an LLM pipeline runs against eval benchmarks
+    before training). Returns (doc_id, shared_shingles) for flagged docs.
+
+    The probe shingle set is tiny (benchmarks are KBs–MBs, the corpus is
+    TBs), so it broadcasts and the check is a map-side semi-join against
+    the corpus shingle stream — no shuffle of the corpus at all; the only
+    shuffle is the per-doc count over the (rare) matching shingles. Set
+    ``broadcast_probes=False`` for unusually large probe sets."""
+    probe_sh = word_shingles(probes, n, text_col, id_col).select("shingle").distinct()
+    if broadcast_probes:
+        probe_sh = F.broadcast(probe_sh)
+    doc_sh = word_shingles(docs, n, text_col, id_col)  # distinct per doc already
+    return (
+        doc_sh.join(probe_sh, on="shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= min_shared)
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,

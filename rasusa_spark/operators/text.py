@@ -32,6 +32,89 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), F.lit(0)))
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition features — the Gopher/MassiveText-style
+    quality filters (Rae et al. 2021 §A1.1) a training pipeline applies
+    before dedup:
+
+    - ``dup_line_frac``: fraction of non-blank lines that repeat an earlier
+      line (pure array exprs — split/distinct, zero shuffles);
+    - ``dup_2gram_frac``: fraction of word-bigram OCCURRENCES whose bigram
+      occurs more than once in the doc;
+    - ``top_2gram_frac``: fraction of bigram occurrences taken by the single
+      most frequent bigram.
+
+    The bigram stats explode to a (doc, gram) table and re-aggregate — two
+    shuffles keyed by doc id, partial-aggregated map-side; at 100 TB this
+    is the same shape as the shingle builders (never all-pairs). Ratios are
+    rounded to 6 dp to keep float equality stable across engines."""
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    dup_line_frac = F.round(
+        F.when(
+            n_lines > 0,
+            (n_lines - F.size(F.array_distinct(lines))) / n_lines.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    base = df.select(F.col(id_col), dup_line_frac.alias("dup_line_frac"), c.alias("_t"))
+
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col("_t"))), r"\s+", " "), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+    )
+    exploded = base.where(F.size(words) >= 2).select(
+        F.col(id_col), F.explode(grams).alias("_g")
+    )
+    per_gram = exploded.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    gram_stats = per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("_total"),
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias("_dup"),
+        F.max("_c").alias("_top"),
+    )
+    return (
+        base.join(gram_stats, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("dup_line_frac"),
+            F.round(
+                F.coalesce(F.col("_dup") / F.col("_total"), F.lit(0.0)), 6
+            ).alias("dup_2gram_frac"),
+            F.round(
+                F.coalesce(F.col("_top") / F.col("_total"), F.lit(0.0)), 6
+            ).alias("top_2gram_frac"),
+        )
+    )
+
+
+#: redaction patterns — deliberately simple enough to behave identically
+#: under Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub email addresses and phone-shaped digit runs, keeping counts —
+    the standard pre-training PII pass. Pure JVM regex (regexp_extract_all /
+    regexp_replace), one projection, no shuffle: at 100 TB this fuses into
+    the scan. Returns (id, n_emails, n_phones, redacted text)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+        ).alias("redacted"),
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a composite
     score in [0,1]. Pure column expressions (whole-stage codegen)."""

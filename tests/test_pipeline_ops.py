@@ -102,6 +102,66 @@ def test_prefix_filter_skew_guard(spark):
     assert a == b
 
 
+def test_repetition_features_planted(spark):
+    from rasusa_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),          # 3 lines, one dup -> 1/3
+            (2, "x y x y x y"),             # bigrams: "x y"x3,"y x"x2 -> all dup
+            (3, "unique words only here"),  # no repeats
+            (4, "solo"),                    # <2 words -> zero gram stats
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert abs(got[1].dup_line_frac - 1 / 3) < 1e-6
+    assert got[2].dup_2gram_frac == 1.0
+    assert abs(got[2].top_2gram_frac - 0.6) < 1e-6  # 3 of 5
+    assert got[3].dup_2gram_frac == 0.0 and got[3].dup_line_frac == 0.0
+    assert got[4].dup_2gram_frac == 0.0 and got[4].top_2gram_frac == 0.0
+
+
+def test_redact_pii_planted(spark):
+    from rasusa_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
+         (2, "no pii here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert "[EMAIL]" in got[1].redacted and "[PHONE]" in got[1].redacted
+    assert "example.co.uk" not in got[1].redacted
+    assert "555" not in got[1].redacted
+    assert got[2].n_emails == 0 and got[2].n_phones == 0
+    assert got[2].redacted == "no pii here"
+
+
+def test_ngram_contamination_planted(spark):
+    from rasusa_spark.operators.dedup import ngram_contamination
+
+    probes = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox jumps high"),   # shares 3 trigrams
+            (2, "completely unrelated sentence with words"),
+            (3, "quick brown fox appears once more"),       # shares 1 trigram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.shared_shingles
+           for r in ngram_contamination(docs, probes, n=3, min_shared=2).collect()}
+    assert got == {1: 3}
+    got1 = {r.doc_id: r.shared_shingles
+            for r in ngram_contamination(docs, probes, n=3, min_shared=1).collect()}
+    assert got1 == {1: 3, 3: 1}
+
+
 def test_oph_minhash_signatures_dense_and_clone_consistent(spark, docs):
     """One-permutation signatures must have NO null slots (densification
     fills empty bins) and byte-identical docs must get byte-identical
