@@ -38,6 +38,9 @@ HEADLINE = [
     "minhash_pairs",
     "cosine_threshold",
     "cosine_topk",
+    "repetition_features",
+    "redact_pii",
+    "contamination",
 ]
 
 

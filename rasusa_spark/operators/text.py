@@ -63,9 +63,12 @@ def repetition_features(
     base = df.select(F.col(id_col), dup_line_frac.alias("dup_line_frac"), c.alias("_t"))
 
     words = F.split(F.regexp_replace(F.lower(F.trim(F.col("_t"))), r"\s+", " "), " ")
+    # frequencies are all that matter — hash each bigram (one xxhash64 over
+    # the two word columns) instead of building gram strings; identical
+    # ratios up to 64-bit collisions (~2⁻⁶⁴ per gram pair)
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.xxhash64(F.element_at(words, i + 1), F.element_at(words, i + 2)),
     )
     exploded = base.where(F.size(words) >= 2).select(
         F.col(id_col), F.explode(grams).alias("_g")
