@@ -55,11 +55,22 @@ def main() -> None:
     # warm the JVM / Arrow path outside the timed region
     qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # min-of-N per query: this VM's run-to-run noise is ±15-30 % (see
+    # BENCH/BASELINE.md); the minimum of two warmed runs is a far more
+    # stable estimator of the plan's actual cost than one shot. Caches
+    # registered by the threshold/dedup paths are cleared between repeats
+    # so every repeat pays the full plan, never a cached subtree.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"

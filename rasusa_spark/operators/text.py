@@ -62,17 +62,25 @@ def repetition_features(
     )
     base = df.select(F.col(id_col), dup_line_frac.alias("dup_line_frac"), c.alias("_t"))
 
-    words = F.split(F.regexp_replace(F.lower(F.trim(F.col("_t"))), r"\s+", " "), " ")
+    # materialize the split as a COLUMN before the lambda references it —
+    # inlining the raw split expression into the per-gram transform would
+    # re-execute regexp+split once per element_at (the word_shingles trap,
+    # measured ~30x)
+    words_expr = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("_t"))), r"\s+", " "), " "
+    )
+    with_words = base.select(F.col(id_col), words_expr.alias("_w")).where(
+        F.size("_w") >= 2
+    )
+    w = F.col("_w")
     # frequencies are all that matter — hash each bigram (one xxhash64 over
     # the two word columns) instead of building gram strings; identical
     # ratios up to 64-bit collisions (~2⁻⁶⁴ per gram pair)
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 2),
-        lambda i: F.xxhash64(F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.xxhash64(F.element_at(w, i + 1), F.element_at(w, i + 2)),
     )
-    exploded = base.where(F.size(words) >= 2).select(
-        F.col(id_col), F.explode(grams).alias("_g")
-    )
+    exploded = with_words.select(F.col(id_col), F.explode(grams).alias("_g"))
     per_gram = exploded.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
     gram_stats = per_gram.groupBy(id_col).agg(
         F.sum("_c").alias("_total"),
