@@ -7,6 +7,8 @@ from ..operators.text import (  # noqa: F401
     content_hash,
     lang_id_udf,
     quality_features,
+    redact_pii,
+    repetition_features,
     rolling_fingerprint_udf,
     token_count,
 )
