@@ -405,6 +405,30 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(rest, probes, n=3, min_shared=2)
 
 
+def q_prepare_pipeline(spark, sf_dir):
+    """Composed prep pipeline (plans/prepare.py), oracle-able stages only:
+    exact dedup → repetition caps → decontamination → near-dup clustering.
+    The quality-score stage is skipped (float-threshold membership is not
+    stable across engines) and the budget stage is exercised by the
+    downsample_* queries instead."""
+    from rasusa_spark.plans.prepare import prepare_training_data
+
+    docs = _load(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 20 == 0)
+    rest = docs.where(F.col("doc_id") % 20 != 0)
+    out = prepare_training_data(
+        rest,
+        seed=42,
+        quality_min_score=None,
+        max_dup_line_frac=0.5,
+        max_top_2gram_frac=0.5,
+        probes=probes,
+        contamination_min_shared=2,
+        jaccard_threshold=0.5,
+    )
+    return out.select("doc_id", "source")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive near-dup clustering: ngram-jaccard pairs (t=0.3) closed
     into connected components (operators/graph.py); every document labeled
@@ -546,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "prepare_pipeline": q_prepare_pipeline,
         "repetition_features": q_repetition_features,
         "redact_pii": q_redact_pii,
         "contamination": q_contamination,
@@ -739,6 +764,64 @@ inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
 SELECT id_a, id_b, round(i::DOUBLE/(s1.sz + s2.sz - i), 6) AS jaccard
 FROM inter JOIN sz s1 ON id_a = s1.doc_id JOIN sz s2 ON id_b = s2.doc_id
 WHERE i::DOUBLE/(s1.sz + s2.sz - i) >= 0.3
+""",
+        "prepare_pipeline": """
+WITH RECURSIVE
+base AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 20 <> 0),
+probes AS (SELECT text FROM documents WHERE doc_id % 20 = 0),
+s1 AS (SELECT b.* FROM base b
+       JOIN (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+                    min(doc_id) AS keep
+             FROM base GROUP BY 1) k ON b.doc_id = k.keep),
+lines AS (SELECT doc_id,
+        list_filter(string_split(text, chr(10)), x -> trim(x) != '') l FROM s1),
+lf AS (SELECT doc_id,
+       CASE WHEN len(l) > 0
+            THEN round((len(l) - len(list_distinct(l)))::DOUBLE / len(l), 6)
+            ELSE 0.0 END AS dup_line_frac FROM lines),
+w2 AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') w
+        FROM s1),
+grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+          FROM w2, LATERAL UNNEST(generate_series(1, len(w)-1)) AS t(i)
+          WHERE len(w) >= 2),
+pg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+gs AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM pg GROUP BY 1),
+rep AS (SELECT l.doc_id, l.dup_line_frac,
+               round(coalesce(top::DOUBLE / total, 0.0), 6) AS topf
+        FROM lf l LEFT JOIN gs ON l.doc_id = gs.doc_id),
+s3 AS (SELECT s1.* FROM s1 JOIN rep ON s1.doc_id = rep.doc_id
+       WHERE rep.dup_line_frac <= 0.5 AND rep.topf <= 0.5),
+pw AS (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') w
+       FROM probes),
+psh AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM pw, LATERAL UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        WHERE len(w) >= 3),
+w3 AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') w
+        FROM s3),
+dsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM w3, LATERAL UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        WHERE len(w) >= 3),
+cont AS (SELECT doc_id FROM dsh JOIN psh USING (shingle)
+         GROUP BY 1 HAVING count(*) >= 2),
+s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+dsh4 AS (SELECT d.* FROM dsh d JOIN s4 USING (doc_id)),
+sz AS (SELECT doc_id, count(*) AS sz FROM dsh4 GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM dsh4 a JOIN dsh4 b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sz s1x ON id_a = s1x.doc_id JOIN sz s2x ON id_b = s2x.doc_id
+          WHERE i::DOUBLE / (s1x.sz + s2x.sz - i) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT src AS node, src AS label FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, min(label) AS lab FROM reach GROUP BY 1),
+drop5 AS (SELECT node AS doc_id FROM comp WHERE lab <> node)
+SELECT doc_id, source FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM drop5)
 """,
         "repetition_features": """
 WITH lines AS (SELECT doc_id,

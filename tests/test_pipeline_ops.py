@@ -229,6 +229,44 @@ def test_connected_components_empty_and_layout_invariant(spark):
         assert got == {i: 0 for i in range(20)}
 
 
+def test_connected_components_matches_union_find(spark):
+    """Random graphs vs a driver-side union-find oracle — one seeded graph
+    per shape (sparse forest, dense-ish, with self-loops)."""
+    import random
+
+    from rasusa_spark.operators.graph import connected_components
+
+    def union_find(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # canonical label = min node id in component
+        comp = {}
+        for x in range(n_nodes):
+            comp.setdefault(find(x), []).append(x)
+        return {x: min(members) for members in comp.values() for x in members}
+
+    rng = random.Random(7)
+    for n_nodes, n_edges in [(30, 12), (40, 60), (25, 25)]:
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        want = union_find(n_nodes, edges)
+        touched = {u for e in edges for u in e}
+        assert got == {x: want[x] for x in touched}
+
+
 def test_dedup_clusters_transitive_closure(spark):
     """A~B and B~C must collapse to ONE cluster keeping exactly one doc —
     the over-deletion trap pairwise dedup alone cannot see."""
@@ -244,6 +282,54 @@ def test_dedup_clusters_transitive_closure(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f"}
     n_kept = len({v for v in got.values()})
     assert n_kept == 3  # {a,b,c} -> 1, {d,e} -> 1, {f} -> 1
+
+
+def test_prepare_training_data_end_to_end(spark):
+    """Composed prep pipeline: every junk category planted once, each must
+    be dropped by its stage; clean docs must survive untouched."""
+    from rasusa_spark.plans.prepare import prepare_training_data
+
+    clean = [
+        (1, "the quick brown fox jumps over the lazy dog in the field", "web"),
+        (2, "a gentle rain fell on the quiet town as evening came around", "web"),
+        (3, "it was the best of times and it was the worst of times there", "books"),
+    ]
+    junk = [
+        # exact duplicate of doc 1 (higher id -> dropped by stage 1)
+        (11, clean[0][1], "web"),
+        # repetition: one bigram dominates -> dropped by stage 3
+        (12, "spam ham " * 15, "web"),
+        # contaminated: contains the probe's trigrams -> dropped by stage 4
+        (13, "students asked about the secret benchmark answer key verbatim today", "web"),
+        # near-duplicate of doc 2 (one word changed) -> clustered, dropped by stage 5
+        (14, "a gentle rain fell on the quiet town as evening came along", "web"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s, len(t.split())) for i, t, s in clean + junk],
+        "doc_id long, text string, source string, n_tok int",
+    )
+    probes = spark.createDataFrame(
+        [(999, "the secret benchmark answer key verbatim")],
+        "doc_id long, text string",
+    )
+    out = prepare_training_data(
+        docs,
+        seed=42,
+        quality_min_score=0.2,
+        max_top_2gram_frac=0.5,
+        probes=probes,
+        contamination_min_shared=2,
+        jaccard_threshold=0.5,
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 2, 3]
+    # with a budget: per-source token caps still hold on the clean set
+    capped = prepare_training_data(
+        docs, seed=42, probes=probes, jaccard_threshold=0.5, budget_tokens=12
+    )
+    rows = capped.groupBy("source").agg(F.sum("n_tok").alias("s")).collect()
+    for r in rows:
+        assert r.s <= 12 + 12  # budget crossed by less than one doc
 
 
 def test_minhash_lsh_finds_clones(spark, docs):
