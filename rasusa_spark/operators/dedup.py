@@ -24,6 +24,20 @@ from pyspark.sql import functions as F
 
 from .text import content_hash
 
+#: frames persisted by the dedup paths (per-doc aggregates, signatures),
+#: pending release — mirrors downsample._THRESHOLD_CACHES so long-lived
+#: sessions can reclaim blocks once results are materialized.
+_DEDUP_CACHES: list[DataFrame] = []
+
+
+def release_dedup_caches() -> None:
+    """Unpersist every cached frame the dedup operators registered since the
+    last release. Safe once results are materialized; calling early costs a
+    recompute, never correctness."""
+    while _DEDUP_CACHES:
+        _DEDUP_CACHES.pop().unpersist()
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -139,6 +153,7 @@ def ngram_jaccard_pairs(
     # the shingle table feeds sizes + both join sides — persist so the plan
     # materializes it once instead of re-deriving per consumer
     sh = word_shingles(df, n, text_col, id_col).persist()
+    _DEDUP_CACHES.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -251,6 +266,7 @@ def _jaccard_prefix_filtered(
     counts + the rank join) is cheaper than spilling it."""
     shh = word_shingles_hashed(df, n, text_col, id_col)
     docs = _ranked_doc_sets(shh, id_col).persist()
+    _DEDUP_CACHES.append(docs)
     cand = _prefix_candidates_from_docs(docs, threshold, id_col)
     sets = docs.select(
         F.col(id_col),
@@ -408,6 +424,7 @@ def minhash_lsh_pairs(
     rows_per_band = n_perm // n_bands
     build = minhash_signatures_oph if one_perm else minhash_signatures
     sigs = build(df, n_perm, shingle_n, seed, text_col, id_col).cache()
+    _DEDUP_CACHES.append(sigs)
 
     bands = sigs.select(
         id_col,
@@ -648,6 +665,7 @@ def simhash_pairs(
     (exact recall by pigeonhole — see simhash_pairs_from_signatures), then
     verifies exactly via bit_count(xor)."""
     sigs = simhash_signatures(df, text_col, id_col).cache()
+    _DEDUP_CACHES.append(sigs)
     return simhash_pairs_from_signatures(
         sigs, max_hamming=max_hamming, id_col=id_col, n_chunks=n_chunks
     )

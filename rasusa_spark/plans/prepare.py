@@ -97,8 +97,14 @@ def prepare_training_data(
         ).select(id_col)
         out = out.join(flagged, on=id_col, how="left_anti")
 
-    # 5. near-dup clustering → keep one doc per cluster (the component min)
+    # 5. near-dup clustering → keep one doc per cluster (the component min).
+    # The stage consumes `out` three times (pair generation, cluster join,
+    # survivor semi-join) — persist the filtered set so the upstream scan +
+    # filter stages run once, not three times (at 100 TB the input scan is
+    # the dominant cost; production pipelines would checkpoint to storage
+    # here, which a caller can do instead by materializing `out` itself).
     if jaccard_threshold is not None:
+        out = out.persist()
         pairs = ngram_jaccard_pairs(
             out, n=shingle_n, threshold=jaccard_threshold,
             text_col=text_col, id_col=id_col,
