@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--seed", type=int, required=True)
     ap.add_argument("--strategy", default="threshold")
     ap.add_argument("--rollup", action="store_true", help="also maintain 1h/1d tiers")
+    ap.add_argument(
+        "--drop-raw-before", type=str, default=None,
+        help="retention: drop raw retained partitions with bucket_start "
+             "before this ISO timestamp, after verifying the 1h tier covers "
+             "them bit-for-bit (implies --rollup ran this or a prior run)",
+    )
     args = ap.parse_args()
 
     # imports resolve from --py-files on executors
@@ -80,6 +86,15 @@ def main() -> None:
         compress_metric_streams(tiers["1h"]).write.mode("overwrite").parquet(
             os.path.join(args.output, "metric_blobs_1h")
         )
+
+    if args.drop_raw_before:
+        from rasusa_spark.plans.retention import apply_retention
+
+        log = apply_retention(
+            spark, args.output, drop_before=args.drop_raw_before, tier="1h",
+            run_id=args.run_id, checkpoint_path=args.checkpoint,
+        )
+        print(f"retention dropped {log.count()} raw partitions")
     spark.stop()
 
 

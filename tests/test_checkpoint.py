@@ -105,3 +105,94 @@ def test_rerun_after_completion_is_noop(spark, raw2k, tmp_path):
     again = run_downsample_job(spark, raw2k, JOB, out, ck, run_id="x2")
     assert again.count() == 0  # nothing left to do
     assert _rows(read_retained(spark, out)) == before
+
+
+# ---------------------------------------------------------------------------
+# retention policy (plans/retention.py)
+# ---------------------------------------------------------------------------
+
+
+def _setup_store(spark, raw2k, tmp_path, name):
+    """Run the job and write the 1h tier next to it (run_job --rollup shape)."""
+    import os
+
+    from rasusa_spark.operators.rollup import rollup_all_tiers
+
+    out, ck = str(tmp_path / f"{name}_out"), str(tmp_path / f"{name}_ck")
+    run_downsample_job(spark, raw2k, JOB, out, ck, run_id="r0")
+    kept = read_retained(spark, out)
+    tiers = rollup_all_tiers(kept, fill=False)
+    for tname, tdf in tiers.items():
+        tdf.write.mode("overwrite").parquet(os.path.join(out, f"rollup_{tname}"))
+    return out, ck
+
+
+def test_retention_drops_covered_partitions(spark, raw2k, tmp_path):
+    from rasusa_spark.plans.retention import apply_retention, read_retention_log
+
+    out, ck = _setup_store(spark, raw2k, tmp_path, "ret1")
+    before = read_retained(spark, out)
+    buckets = sorted(
+        r.bucket_start for r in before.select("bucket_start").distinct().collect()
+    )
+    cutoff = buckets[len(buckets) // 2]
+    n_doomed = before.where(F.col("bucket_start") < F.lit(cutoff)).count()
+    n_keep = before.count() - n_doomed
+    assert n_doomed > 0 and n_keep > 0
+
+    log = apply_retention(
+        spark, out, drop_before=str(cutoff), tier="1h",
+        run_id="ret-run", checkpoint_path=ck,
+    )
+    dropped = log.agg(F.sum("rows_dropped")).collect()[0][0]
+    assert dropped == n_doomed
+    after = read_retained(spark, out)
+    assert after.count() == n_keep
+    assert after.where(F.col("bucket_start") < F.lit(cutoff)).count() == 0
+    # lineage survives the drop: retention log holds the dropped span
+    rl = read_retention_log(spark, ck)
+    assert rl.where(F.col("run_id") == "ret-run").count() == log.count()
+    # the tier still holds the aggregates for the dropped span
+    tier = spark.read.parquet(f"{out}/rollup_1h")
+    assert tier.where(F.col("bucket_start") < F.lit(cutoff)).count() > 0
+
+
+def test_retention_refuses_uncovered_span(spark, raw2k, tmp_path):
+    import os
+
+    from rasusa_spark.plans.retention import RetentionError, apply_retention
+
+    out, ck = _setup_store(spark, raw2k, tmp_path, "ret2")
+    # sabotage the tier: remove one day's aggregates
+    tier_path = os.path.join(out, "rollup_1h")
+    tier = spark.read.parquet(tier_path)
+    first_day = tier.agg(F.min("bucket_start")).collect()[0][0]
+    tier.where(
+        F.date_trunc("day", "bucket_start") != F.date_trunc("day", F.lit(first_day))
+    ).write.mode("overwrite").parquet(str(tmp_path / "ret2_tier_holed"))
+    spark.read.parquet(str(tmp_path / "ret2_tier_holed")).write.mode(
+        "overwrite"
+    ).parquet(tier_path)
+
+    before = read_retained(spark, out)
+    n_before = before.count()
+    buckets = sorted(
+        r.bucket_start for r in before.select("bucket_start").distinct().collect()
+    )
+    cutoff = buckets[len(buckets) // 2]
+    with pytest.raises(RetentionError):
+        apply_retention(spark, out, drop_before=str(cutoff), tier="1h",
+                        checkpoint_path=ck)
+    # nothing was deleted
+    assert read_retained(spark, out).count() == n_before
+
+
+def test_retention_noop_before_first_bucket(spark, raw2k, tmp_path):
+    from rasusa_spark.plans.retention import apply_retention
+
+    out, ck = _setup_store(spark, raw2k, tmp_path, "ret3")
+    log = apply_retention(
+        spark, out, drop_before="1990-01-01 00:00:00", tier="1h",
+        checkpoint_path=ck,
+    )
+    assert log.count() == 0
