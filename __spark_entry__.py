@@ -514,10 +514,14 @@ def q_golden_onepass_seed1(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, production recipe: banded-LSH candidate
+    generation (the only corpus-wide pass) + EXACT shingle-Jaccard
+    verification of the candidates. Oracle-able because the output is
+    defined by exact Jaccard; the oracle equality doubles as a recall
+    check on the banding (16 bands × 4 rows misses a j=0.9 pair with
+    p≈4e-8)."""
     docs = _load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.35).select(
-        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
-    )
+    return minhash_lsh_pairs(docs, threshold=0.5, verify_exact=True)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -579,10 +583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_norms": q_label_norms,
         "salted_rollup_1d": q_salted_rollup_1d,
         "json_props": q_json_props,
+        "minhash_pairs": q_minhash_pairs,
         # rows-only (exact-RNG parity / LSH approximations):
         "golden_num10_seed1": q_golden_num10_seed1,
         "golden_onepass_seed1": q_golden_onepass_seed1,
-        "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "multimodal_features": q_multimodal_features,
@@ -764,6 +768,21 @@ inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
 SELECT id_a, id_b, round(i::DOUBLE/(s1.sz + s2.sz - i), 6) AS jaccard
 FROM inter JOIN sz s1 ON id_a = s1.doc_id JOIN sz s2 ON id_b = s2.doc_id
 WHERE i::DOUBLE/(s1.sz + s2.sz - i) >= 0.3
+""",
+        "minhash_pairs": """
+WITH words AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') w
+        FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM words, LATERAL UNNEST(generate_series(1, len(w)-2)) AS t(i)
+       WHERE len(w) >= 3),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(i::DOUBLE/(s1.sz + s2.sz - i), 6) AS jaccard
+FROM inter JOIN sz s1 ON id_a = s1.doc_id JOIN sz s2 ON id_b = s2.doc_id
+WHERE i::DOUBLE/(s1.sz + s2.sz - i) >= 0.5
 """,
         "prepare_pipeline": """
 WITH RECURSIVE

@@ -415,12 +415,21 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     one_perm: bool = False,
+    verify_exact: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over minhash
     signatures, verified by estimated Jaccard (signature agreement rate).
     Returns (id_a, id_b, est_jaccard ≥ threshold). ``one_perm=True``
     switches the signature builder to one-permutation hashing with
-    densification (1 hash/shingle instead of n_perm — the 100-TB path)."""
+    densification (1 hash/shingle instead of n_perm — the 100-TB path).
+
+    ``verify_exact=True`` is the production dedup recipe (LSH prune, exact
+    confirm): candidates come from the band join alone (no est filter, so
+    recall = banding recall), then each candidate pair is verified against
+    EXACT shingle-set Jaccard and the output is (id_a, id_b, jaccard ≥
+    threshold). The exact pass touches only candidate docs (semi-join
+    before shingling), so its cost is O(candidates), not O(corpus) —
+    signatures stay the only corpus-wide scan."""
     rows_per_band = n_perm // n_bands
     build = minhash_signatures_oph if one_perm else minhash_signatures
     sigs = build(df, n_perm, shingle_n, seed, text_col, id_col).cache()
@@ -456,6 +465,35 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    if verify_exact:
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sets = (
+            word_shingles_hashed(df, shingle_n, text_col, id_col)
+            .join(F.broadcast(cand_ids), id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_set("_shh").alias("_set"))
+        )
+        return (
+            cand.join(
+                sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa")),
+                "id_a",
+            )
+            .join(
+                sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb")),
+                "id_b",
+            )
+            .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
+            .withColumn(
+                "jaccard",
+                F.col("_i") / (F.size("_sa") + F.size("_sb") - F.col("_i")),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
     verified = (
         cand.join(sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("signature", "sig_a"), "id_a")
         .join(sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("signature", "sig_b"), "id_b")

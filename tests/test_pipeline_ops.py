@@ -343,6 +343,23 @@ def test_minhash_lsh_finds_clones(spark, docs):
     assert hit >= 0.9 * len(ids)  # LSH recall on exact clones ≈ 1
 
 
+def test_minhash_verify_exact_matches_exact_join(spark, docs):
+    # the production recipe (LSH prune + exact confirm) must return the
+    # same pair set and the same exact-jaccard values as the all-pairs
+    # exact join at the same threshold (recall of the band join is ~1 at
+    # near-dup similarity; verification is exact by construction)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.5, verify_exact=True).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 def test_simhash_clones_zero_hamming(spark, docs):
     doubled = docs.limit(40).union(
         docs.limit(40).withColumn("doc_id", F.col("doc_id") + 100000)
