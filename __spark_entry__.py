@@ -405,6 +405,31 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(rest, probes, n=3, min_shared=2)
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher-rules quality gate (Rae et al. 2021 App. A1.1): per-rule
+    features + composite kept verdict, pure column expressions. Thresholds
+    tuned so the synthetic corpus splits non-trivially."""
+    from rasusa_spark.operators.text import gopher_quality_filter
+
+    return gopher_quality_filter(
+        _load(spark, sf_dir, "documents"), min_words=30, min_mean_word_len=3.5
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level duplicate-line removal (RefinedWeb-style boilerplate
+    pass): each distinct non-blank line survives once at its first
+    (doc_id, pos) occurrence; docs are rebuilt in line order."""
+    from rasusa_spark.operators.dedup import line_dedup
+
+    out = line_dedup(_load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.length("text").alias("n_chars_kept"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def q_prepare_pipeline(spark, sf_dir):
     """Composed prep pipeline (plans/prepare.py), oracle-able stages only:
     exact dedup → repetition caps → decontamination → near-dup clustering.
@@ -575,6 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "prepare_pipeline": q_prepare_pipeline,
+        "quality_filter": q_quality_filter,
+        "line_dedup": q_line_dedup,
         "repetition_features": q_repetition_features,
         "redact_pii": q_redact_pii,
         "contamination": q_contamination,
@@ -753,6 +780,54 @@ SELECT doc_id,
                                 'this','that','for','on','with','as','at',
                                 'by'], x))) AS INT) AS n_stop
 FROM documents
+""",
+        "quality_filter": r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_words,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
+         CAST(length(regexp_extract_all(text, '#|\.\.\.')) AS INT) AS n_sym,
+         CAST(len(list_intersect(
+              list_distinct(string_split_regex(lower(text), '\s+')),
+              ['the','be','to','of','and','that','have','with'])) AS INT)
+             AS stop_hits,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+g AS (
+  SELECT doc_id, n_words, stop_hits,
+         CASE WHEN n_words > 0
+              THEN n_word_chars::DOUBLE / n_words ELSE 0.0 END AS mean_wl,
+         CASE WHEN n_words > 0
+              THEN n_sym::DOUBLE / n_words ELSE 0.0 END AS sym_ratio,
+         len(list_filter(lines, x -> x LIKE '- %' OR x LIKE '* %'))::DOUBLE
+             / len(lines) AS bullet_frac,
+         len(list_filter(lines, x -> x LIKE '%...'))::DOUBLE
+             / len(lines) AS ellipsis_frac
+  FROM f)
+SELECT doc_id, n_words,
+       round(mean_wl, 6) AS mean_word_len,
+       round(sym_ratio, 6) AS symbol_ratio,
+       stop_hits,
+       round(bullet_frac, 6) AS bullet_frac,
+       round(ellipsis_frac, 6) AS ellipsis_frac,
+       (n_words BETWEEN 30 AND 100000
+        AND mean_wl BETWEEN 3.5 AND 10.0
+        AND sym_ratio <= 0.1 AND stop_hits >= 2
+        AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3) AS kept
+FROM g
+""",
+        "line_dedup": """
+WITH lx AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+lines AS (SELECT doc_id, i AS pos, l[i] AS line
+          FROM lx, LATERAL UNNEST(generate_series(1, len(l))) AS t(i)
+          WHERE trim(l[i]) != ''),
+r AS (SELECT doc_id, pos, line, row_number() OVER (
+          PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM lines),
+docs AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+         FROM r WHERE rn = 1 GROUP BY doc_id)
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars_kept, md5(text) AS text_md5
+FROM docs
 """,
         "ngram_jaccard": """
 WITH words AS (SELECT doc_id,

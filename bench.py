@@ -41,6 +41,8 @@ HEADLINE = [
     "repetition_features",
     "redact_pii",
     "contamination",
+    "quality_filter",
+    "line_dedup",
 ]
 
 

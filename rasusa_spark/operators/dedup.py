@@ -64,6 +64,40 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(w_keep.select(id_col), on=id_col, how="left_semi")
 
 
+def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level duplicate-LINE removal (the RefinedWeb/CCNet boilerplate
+    pass): every distinct non-blank line survives exactly once, at its first
+    occurrence ordered by (doc_id, line position); all later copies are
+    struck from their documents. Returns (id, text) for documents with ≥1
+    surviving line, text rebuilt in original line order.
+
+    Scale shape: one shuffle on the line value to pick first occurrences
+    (``min(struct(id, pos))`` — map-side combinable, no window over the
+    corpus), one shuffle back on the doc id to rebuild. Blank lines never
+    enter the shuffle. A hot line ("Subscribe to our newsletter") is a
+    single reduce key with ONE aggregated row out — the d² blowup a
+    join-based formulation would hit cannot occur here."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).where(F.trim("line") != "")
+    kept = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("_f"))
+        .select(F.col("_f.i").alias(id_col), F.col("_f.p").alias("pos"), "line")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_ls"))
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform("_ls", lambda s: s.getField("line")), "\n"
+            ).alias(text_col),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard (exact, SQL-expressible)
 # --------------------------------------------------------------------------

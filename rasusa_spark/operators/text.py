@@ -165,6 +165,74 @@ _LANG_PROFILES = {
 }
 
 
+#: the eight must-contain English words from the Gopher quality rules
+#: (Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A1.1)
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_stop_hits: int = 2,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 App. A1.1) as
+    pure column expressions — the standard pre-training quality gate the
+    reference pipeline lacks an analog for (new-capability row, like
+    dedup/similarity; SURVEY §2.12). Emits per-rule features plus the
+    composite ``kept`` verdict so downstream stages can either filter or
+    audit rule attribution. Whole-stage-codegen throughout: one projection,
+    no shuffle, no Python — at 100 TB this runs at scan speed.
+
+    Rules: word count in [min,max]; mean word length in [min,max];
+    symbol-to-word ratio (``#`` and ``...``) ≤ cap; ≥ ``min_stop_hits``
+    distinct Gopher stopwords; ≤ caps on the fraction of lines that are
+    bullet-led / ellipsis-ended."""
+    c = F.col(text_col)
+    n_words = token_count(c)
+    n_word_chars = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_wl = F.when(n_words > 0, n_word_chars / n_words).otherwise(F.lit(0.0))
+    n_sym = F.regexp_count(c, F.lit(r"#|\.\.\."))
+    sym_ratio = F.when(n_words > 0, n_sym / n_words).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.split(F.lower(c), r"\s+")),
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+        )
+    )
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.size(
+        F.filter(lines, lambda x: x.like("- %") | x.like("* %"))
+    ) / n_lines
+    ellipsis_frac = F.size(F.filter(lines, lambda x: x.like("%..."))) / n_lines
+    kept = (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (sym_ratio <= max_symbol_word_ratio)
+        & (stop_hits >= min_stop_hits)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellipsis_frac <= max_ellipsis_line_frac)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        kept.alias("kept"),
+    )
+
+
 def lang_id_udf():
     """Language-ID heuristic: CJK codepoint ratio, else trigram-profile hit
     rate. Arrow-batched (pandas UDF), stateless, deterministic."""

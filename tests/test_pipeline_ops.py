@@ -343,6 +343,41 @@ def test_minhash_lsh_finds_clones(spark, docs):
     assert hit >= 0.9 * len(ids)  # LSH recall on exact clones ≈ 1
 
 
+def test_gopher_quality_filter_rules(spark):
+    from rasusa_spark.operators.text import gopher_quality_filter
+
+    good = "the quick brown fox jumps over " * 12 + "that have with lazy dogs"
+    rows = [
+        (1, good),                                   # passes every rule
+        (2, "too short to have the of and that"),    # < min_words
+        (3, ("#" * 30 + " ") * 4 + good),            # symbol ratio blown
+        (4, "\n".join("- " + good for _ in range(4))),  # all bullet lines
+        (5, " ".join("zz" for _ in range(80))),      # mean word len + stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_filter(df, min_words=30).collect()}
+    assert out[1].kept
+    assert not out[2].kept and out[2].n_words < 30
+    assert not out[3].kept and out[3].symbol_ratio > 0.1
+    assert not out[4].kept and out[4].bullet_frac == 1.0
+    assert not out[5].kept and out[5].stop_hits < 2
+
+
+def test_line_dedup_first_occurrence_survives(spark):
+    from rasusa_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "alpha\nshared line\nbeta"),
+        (2, "shared line\ngamma\n\nshared line"),   # both copies struck
+        (3, "shared line"),                         # fully deduped -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in line_dedup(df).collect()}
+    assert out[1] == "alpha\nshared line\nbeta"     # original order kept
+    assert out[2] == "gamma"                        # dup + blank lines gone
+    assert 3 not in out
+
+
 def test_minhash_verify_exact_matches_exact_join(spark, docs):
     # the production recipe (LSH prune + exact confirm) must return the
     # same pair set and the same exact-jaccard values as the all-pairs
