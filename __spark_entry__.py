@@ -430,6 +430,27 @@ def q_line_dedup(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy contiguous sequence packing of documents into 256-token
+    training sequences per source (operators/pack.py). Oracle = row-stepping
+    recursive CTE with identical greedy semantics."""
+    from rasusa_spark.operators.pack import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_sequences(docs, capacity=256, group_cols=["source"])
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment (engine-portable:
+    the oracle computes the identical bucket from the same md5 hex)."""
+    from rasusa_spark.operators.pack import split_assign
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    return split_assign(docs, seed=42).select("doc_id", "split")
+
+
 def q_prepare_pipeline(spark, sf_dir):
     """Composed prep pipeline (plans/prepare.py), oracle-able stages only:
     exact dedup → repetition caps → decontamination → near-dup clustering.
@@ -600,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "prepare_pipeline": q_prepare_pipeline,
+        "pack_sequences": q_pack_sequences,
+        "split_assign": q_split_assign,
         "quality_filter": q_quality_filter,
         "line_dedup": q_line_dedup,
         "repetition_features": q_repetition_features,
@@ -780,6 +803,34 @@ SELECT doc_id,
                                 'this','that','for','on','with','as','at',
                                 'by'], x))) AS INT) AS n_stop
 FROM documents
+""",
+        "pack_sequences": r"""
+WITH RECURSIVE c AS (
+  SELECT source, doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+s AS (
+  SELECT source, rn, doc_id, n_tok,
+         CAST(0 AS BIGINT) AS pack_id, CAST(n_tok AS BIGINT) AS pack_fill
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.source, c.rn, c.doc_id, c.n_tok,
+         CASE WHEN s.pack_fill + c.n_tok <= 256
+              THEN s.pack_id ELSE s.pack_id + 1 END,
+         CASE WHEN s.pack_fill + c.n_tok <= 256
+              THEN s.pack_fill + c.n_tok ELSE CAST(c.n_tok AS BIGINT) END
+  FROM s JOIN c ON c.source = s.source AND c.rn = s.rn + 1)
+SELECT source, doc_id, n_tok, pack_id, pack_fill FROM s
+""",
+        "split_assign": """
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(concat('0x', substr(md5('42:' || doc_id), 1, 8)) AS UBIGINT)
+                 % 10000 AS b
+      FROM documents)
 """,
         "quality_filter": r"""
 WITH f AS (

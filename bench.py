@@ -43,6 +43,7 @@ HEADLINE = [
     "contamination",
     "quality_filter",
     "line_dedup",
+    "pack_sequences",
 ]
 
 

@@ -103,6 +103,25 @@ def main() -> None:
                                       probes)))
         )
 
+        from rasusa_spark.operators.dedup import line_dedup
+
+        sections.append(
+            ("corpus-level line dedup (first-occurrence via map-side-"
+             "combinable min-struct agg — two exchanges, no join, no window)",
+             grab(line_dedup(docs)))
+        )
+
+        from rasusa_spark.operators.pack import pack_sequences
+        from rasusa_spark.operators.text import token_count
+
+        sized = docs.select("source", "doc_id",
+                            token_count(F.col("text")).alias("n_tok"))
+        sections.append(
+            ("sequence packing (one shuffle on group cols; Arrow-batched "
+             "per-group kernel loops over packs, not rows)",
+             grab(pack_sequences(sized, capacity=256)))
+        )
+
         from rasusa_spark.plans.prepare import prepare_training_data
 
         prep = prepare_training_data(

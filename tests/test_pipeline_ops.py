@@ -378,6 +378,47 @@ def test_line_dedup_first_occurrence_survives(spark):
     assert 3 not in out
 
 
+def test_pack_sequences_greedy_boundaries(spark):
+    from rasusa_spark.operators.pack import pack_sequences
+
+    rows = [("s", i, n) for i, n in enumerate([4, 4, 4, 9, 12, 1])]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok int")
+    out = {r.doc_id: (r.pack_id, r.pack_fill)
+           for r in pack_sequences(df, capacity=10).collect()}
+    # greedy: [4,4]=8 | [4]=4 | [9]=9 | [12] oversize alone | [1]
+    assert out == {0: (0, 4), 1: (0, 8), 2: (1, 4), 3: (2, 9),
+                   4: (3, 12), 5: (4, 1)}
+
+
+def test_pack_sequences_invariants_and_layout_invariance(spark, docs):
+    from rasusa_spark.operators.pack import pack_sequences, pack_summary
+
+    sized = docs.select("source", "doc_id", token_count(F.col("text")).alias("n_tok"))
+    packed = pack_sequences(sized, capacity=256, group_cols=["source"])
+    summ = pack_summary(packed, ["source"]).collect()
+    # every pack within capacity unless it is a single oversize doc
+    per_pack_docs = {(r.source, r.pack_id): (r.n_docs, r.fill) for r in summ}
+    for (src, pid), (ndocs, fill) in per_pack_docs.items():
+        assert fill <= 256 or ndocs == 1
+    assert packed.count() == sized.count()  # every doc packed exactly once
+    # partition layout must not change assignments
+    again = pack_sequences(sized.repartition(13), capacity=256, group_cols=["source"])
+    assert again.exceptAll(packed).count() == 0
+
+
+def test_split_assign_deterministic_and_proportional(spark, docs):
+    from rasusa_spark.operators.pack import split_assign
+
+    a = split_assign(docs.select("doc_id"), seed=42)
+    b = split_assign(docs.select("doc_id").repartition(7), seed=42)
+    assert a.exceptAll(b).count() == 0
+    counts = {r.split: r.n for r in
+              a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert counts.get("train", 0) / total > 0.8
+    assert 0 < counts.get("val", 0) / total < 0.15
+
+
 def test_minhash_verify_exact_matches_exact_join(spark, docs):
     # the production recipe (LSH prune + exact confirm) must return the
     # same pair set and the same exact-jaccard values as the all-pairs
