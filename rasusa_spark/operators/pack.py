@@ -24,6 +24,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def greedy_pack_ids(lens: np.ndarray, capacity: int) -> np.ndarray:
+    """Vectorized-per-pack greedy first-fit-contiguous assignment: returns
+    the pack ordinal for each length, in order. Loops over PACKS (one
+    ``searchsorted`` on the cumsum per boundary), not rows."""
+    lens = np.asarray(lens, dtype=np.int64)
+    cs = np.cumsum(lens)
+    n = len(lens)
+    pack_ids = np.empty(n, dtype=np.int64)
+    i, base, pid = 0, 0, 0
+    while i < n:
+        j = int(np.searchsorted(cs, base + capacity, side="right"))
+        if j <= i:  # oversize doc: own pack
+            j = i + 1
+        pack_ids[i:j] = pid
+        base = int(cs[j - 1])
+        pid += 1
+        i = j
+    return pack_ids
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int,
@@ -56,16 +76,7 @@ def pack_sequences(
         lens = pdf[len_col].to_numpy(dtype=np.int64)
         cs = np.cumsum(lens)
         n = len(lens)
-        pack_ids = np.empty(n, dtype=np.int64)
-        i, base, pid = 0, 0, 0
-        while i < n:
-            j = int(np.searchsorted(cs, base + capacity, side="right"))
-            if j <= i:  # oversize doc: own pack
-                j = i + 1
-            pack_ids[i:j] = pid
-            base = int(cs[j - 1])
-            pid += 1
-            i = j
+        pack_ids = greedy_pack_ids(lens, capacity)
         pdf["pack_id"] = pack_ids
         # pack_fill = cumulative sum within the pack, vectorized: subtract
         # each pack's starting offset (cs just before its first row)

@@ -29,6 +29,37 @@ def test_xor_roundtrip_any_float64(vals):
     assert np.array_equal(arr.view(np.uint64), out.view(np.uint64))
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=5_000), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=10_000),
+)
+def test_greedy_pack_matches_rowwise_reference(lengths, capacity):
+    """The searchsorted pack kernel must equal the row-stepping greedy
+    definition (which is also the oracle's recursive-CTE semantics)."""
+    from rasusa_spark.operators.pack import greedy_pack_ids
+
+    got = list(greedy_pack_ids(np.array(lengths), capacity))
+    ref, pid, fill = [], 0, None
+    for ln in lengths:
+        if fill is None:
+            fill = ln
+        elif fill + ln <= capacity:
+            fill += ln
+        else:
+            pid += 1
+            fill = ln
+        ref.append(pid)
+    assert got == ref
+    # capacity invariant: a pack exceeds capacity only as a single oversize doc
+    sums, counts = {}, {}
+    for p, ln in zip(got, lengths):
+        sums[p] = sums.get(p, 0) + ln
+        counts[p] = counts.get(p, 0) + 1
+    for p, s in sums.items():
+        assert s <= capacity or counts[p] == 1
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=300),
