@@ -405,6 +405,14 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(rest, probes, n=3, min_shared=2)
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Top-50 corpus token frequencies (BPE-ish segmentation, lowercased),
+    deterministic tie-break (count desc, token asc)."""
+    from rasusa_spark.operators.text import vocab_stats
+
+    return vocab_stats(_load(spark, sf_dir, "documents"), k=50)
+
+
 def q_quality_filter(spark, sf_dir):
     """Gopher-rules quality gate (Rae et al. 2021 App. A1.1): per-rule
     features + composite kept verdict, pure column expressions. Thresholds
@@ -623,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_pipeline": q_prepare_pipeline,
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
+        "vocab_stats": q_vocab_stats,
         "quality_filter": q_quality_filter,
         "line_dedup": q_line_dedup,
         "repetition_features": q_repetition_features,
@@ -831,6 +840,12 @@ FROM (SELECT doc_id,
              CAST(concat('0x', substr(md5('42:' || doc_id), 1, 8)) AS UBIGINT)
                  % 10000 AS b
       FROM documents)
+""",
+        "vocab_stats": r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text),
+             '[a-za-z]+|[0-9]|[^a-za-z0-9\s]')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 50
 """,
         "quality_filter": r"""
 WITH f AS (

@@ -44,6 +44,7 @@ HEADLINE = [
     "quality_filter",
     "line_dedup",
     "pack_sequences",
+    "vocab_stats",
 ]
 
 

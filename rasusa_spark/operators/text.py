@@ -165,6 +165,25 @@ _LANG_PROFILES = {
 }
 
 
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    pattern: str = BPE_ISH_RE,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide token-frequency table, top-``k`` by (count desc, token
+    asc) — the first step of tokenizer training / frequency-cutoff vocab
+    pruning. Explode + count is map-side combinable (one shuffle keyed by
+    token; a stop-word hot key still collapses to one partial count per
+    task), and the top-k is a TakeOrdered over the aggregated table, never
+    a full sort of the corpus."""
+    toks = df.select(
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
 #: the eight must-contain English words from the Gopher quality rules
 #: (Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A1.1)
 _GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

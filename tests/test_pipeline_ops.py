@@ -343,6 +343,18 @@ def test_minhash_lsh_finds_clones(spark, docs):
     assert hit >= 0.9 * len(ids)  # LSH recall on exact clones ≈ 1
 
 
+def test_vocab_stats_counts_and_tiebreak(spark):
+    from rasusa_spark.operators.text import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "bb aa cc!")], "doc_id long, text string"
+    )
+    rows = vocab_stats(df, k=10).collect()
+    assert [(r.token, r.n) for r in rows] == [
+        ("aa", 3), ("bb", 2), ("!", 1), ("cc", 1)
+    ]
+
+
 def test_gopher_quality_filter_rules(spark):
     from rasusa_spark.operators.text import gopher_quality_filter
 
