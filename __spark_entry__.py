@@ -596,6 +596,33 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(embs, [1.0] * 64, k=10)
 
 
+def q_knn_join(spark, sf_dir):
+    """Exact k-NN join: the table's first 5 vectors (by vec_id) each
+    retrieve their top-5 cosine neighbors from the full table. The query
+    list is a bounded driver-side probe (5 rows), mirroring the IVF
+    training-sample pattern; the search itself is distributed (per-batch
+    BLAS + per-partition top-k + global re-top-k)."""
+    from rasusa_spark.operators.similarity import knn_join_topk
+
+    embs = _load(spark, sf_dir, "embeddings")
+    probe = [
+        (r.vec_id, list(r.embedding))
+        for r in embs.orderBy("vec_id").limit(5).collect()
+    ]
+    out = knn_join_topk(embs, probe, k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN probe (rows-only: nprobe pruning is approximate by design;
+    recall and self-retrieval are pinned in pytest)."""
+    from rasusa_spark.operators.similarity import ivf_build_centroids, ivf_topk
+
+    embs = _load(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(embs, n_cells=8, sample=512)
+    return ivf_topk(embs, [1.0] * 64, cents, k=10, nprobe=3)
+
+
 def q_multimodal_features(spark, sf_dir):
     media = synth_media_df(spark, 64)
     return extract_features(media, deterministic_fake=True).select(
@@ -632,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
         "vocab_stats": q_vocab_stats,
+        "knn_join": q_knn_join,
         "quality_filter": q_quality_filter,
         "line_dedup": q_line_dedup,
         "repetition_features": q_repetition_features,
@@ -648,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_onepass_seed1": q_golden_onepass_seed1,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -840,6 +869,16 @@ FROM (SELECT doc_id,
              CAST(concat('0x', substr(md5('42:' || doc_id), 1, 8)) AS UBIGINT)
                  % 10000 AS b
       FROM documents)
+""",
+        "knn_join": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings ORDER BY vec_id LIMIT 5),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS c
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn FROM s)
+SELECT query_id, vec_id, round(c, 6) AS cosine FROM r WHERE rn <= 5
 """,
         "vocab_stats": r"""
 SELECT token, count(*) AS n
