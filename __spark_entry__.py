@@ -405,6 +405,30 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(rest, probes, n=3, min_shared=2)
 
 
+def q_region_revenue(spark, sf_dir):
+    """Multi-way dimension enrichment (SURVEY §2.6): fact orders joined
+    through customer → nation → region, revenue rolled up per region.
+    Star-join shape: the tiny dims (nation, region) are broadcast
+    explicitly; orders⋈customer shuffles on the key (AQE may still
+    broadcast it at small SF — both are the plans you'd want)."""
+    orders = _load(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = _load(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("revenue_cents"),
+        )
+    )
+
+
 def q_vocab_stats(spark, sf_dir):
     """Top-50 corpus token frequencies (BPE-ish segmentation, lowercased),
     deterministic tie-break (count desc, token asc)."""
@@ -658,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_pipeline": q_prepare_pipeline,
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
+        "region_revenue": q_region_revenue,
         "vocab_stats": q_vocab_stats,
         "knn_join": q_knn_join,
         "quality_filter": q_quality_filter,
@@ -869,6 +894,15 @@ FROM (SELECT doc_id,
              CAST(concat('0x', substr(md5('42:' || doc_id), 1, 8)) AS UBIGINT)
                  % 10000 AS b
       FROM documents)
+""",
+        "region_revenue": """
+SELECT r_name, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
 """,
         "knn_join": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -122,6 +122,22 @@ def main() -> None:
              grab(pack_sequences(sized, capacity=256)))
         )
 
+        from rasusa_spark.operators.text import vocab_stats
+
+        sections.append(
+            ("corpus vocab frequencies (map-side-combinable count; top-k is "
+             "TakeOrdered over the aggregated table, no full sort)",
+             grab(vocab_stats(docs, k=20)))
+        )
+
+        import __spark_entry__ as entrymod
+
+        sections.append(
+            ("star-join dimension enrichment (explicit broadcasts on tiny "
+             "dims; partial+final HashAggregate)",
+             grab(entrymod.q_region_revenue(spark, "/root/testdata/sf0.001")))
+        )
+
         from rasusa_spark.plans.prepare import prepare_training_data
 
         prep = prepare_training_data(

@@ -431,6 +431,34 @@ def test_split_assign_deterministic_and_proportional(spark, docs):
     assert 0 < counts.get("val", 0) / total < 0.15
 
 
+def test_line_dedup_matches_python_reference(spark):
+    # randomized corpus vs a direct single-threaded reference implementation
+    import random
+
+    from rasusa_spark.operators.dedup import line_dedup
+
+    rng = random.Random(7)
+    pool = [f"line {i}" for i in range(12)] + ["", "  "]
+    rows = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(0, 8))))
+        for i in range(40)
+    ]
+    seen, want = set(), {}
+    for i, text in rows:
+        kept = []
+        for line in text.split("\n"):
+            if line.strip() == "":
+                continue
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            want[i] = "\n".join(kept)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in line_dedup(df).collect()}
+    assert got == want
+
+
 def test_minhash_verify_exact_matches_exact_join(spark, docs):
     # the production recipe (LSH prune + exact confirm) must return the
     # same pair set and the same exact-jaccard values as the all-pairs
