@@ -68,3 +68,80 @@ def read_tokens_table(
 
 def default_catalog_table() -> str | None:
     return os.environ.get("ICEBERG_CATALOG_TABLE")
+
+
+def compact_tokens_table(
+    spark: SparkSession,
+    location: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+    id_col: str = "doc_id",
+) -> int:
+    """Small-file compaction for the parquet tier store — the maintenance
+    action Iceberg calls ``rewrite_data_files`` (public Spark action
+    ``RewriteDataFilesSparkAction``): bin-pack each two-level hive
+    partition's (``k1=<v>/k2=<v>/`` — the token table's
+    ``source=/bucket_day=`` and the retained store's
+    ``source=/bucket_id=`` both qualify) files toward
+    ``target_file_bytes``. Long-running ingestion (micro-batch commits,
+    incremental tier merges) accretes one small file per commit; scan cost
+    then scales with file count, not bytes — compaction restores it.
+
+    Scale shape: the partition inventory is a driver-side METADATA listing
+    (O(partitions), the same order as an Iceberg manifest scan — never row
+    data). All partitions needing work are rewritten in ONE distributed
+    job: rows join a broadcast per-partition output-slot plan, shuffle once
+    on (partition, slot), and dynamic partition overwrite commits only the
+    touched directories (untouched partitions keep their files byte-for-
+    byte). Returns the number of partitions compacted.
+    """
+    import math
+
+    todo, keys = [], None
+    for e1 in os.scandir(location):
+        if not e1.is_dir() or "=" not in e1.name:
+            continue
+        k1, v1 = e1.name.split("=", 1)
+        for e2 in os.scandir(e1.path):
+            if not e2.is_dir() or "=" not in e2.name:
+                continue
+            k2, v2 = e2.name.split("=", 1)
+            if keys is None:
+                keys = (k1, k2)
+            files = [
+                f for f in os.scandir(e2.path)
+                if f.is_file() and f.name.endswith(".parquet")
+            ]
+            nbytes = sum(f.stat().st_size for f in files)
+            n_out = max(1, math.ceil(nbytes / target_file_bytes))
+            if len(files) >= min_files and n_out < len(files):
+                todo.append((v1, v2, n_out))
+    if not todo:
+        return 0
+
+    k1, k2 = keys
+    plan = spark.createDataFrame(todo, f"_pv1 string, _pv2 string, n_out int")
+    paths = [
+        os.path.join(location, f"{k1}={a}", f"{k2}={b}") for a, b, _ in todo
+    ]
+    df = spark.read.option("basePath", location).parquet(*paths)
+    total_slots = sum(n for _, _, n in todo)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.join(
+                F.broadcast(plan),
+                (F.col(k1).cast("string") == F.col("_pv1"))
+                & (F.col(k2).cast("string") == F.col("_pv2")),
+            )
+            .withColumn("_slot", F.pmod(F.xxhash64(id_col), F.col("n_out")))
+            .repartition(max(total_slots, 1), k1, k2, "_slot")
+            .drop("n_out", "_slot", "_pv1", "_pv2")
+            .write.mode("overwrite")
+            .partitionBy(k1, k2)
+            .parquet(location)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(todo)

@@ -46,6 +46,12 @@ def main() -> None:
              "before this ISO timestamp, after verifying the 1h tier covers "
              "them bit-for-bit (implies --rollup ran this or a prior run)",
     )
+    ap.add_argument(
+        "--compact-target-mb", type=int, default=None,
+        help="store maintenance: bin-pack the retained partitions' small "
+             "files toward this target file size (Iceberg "
+             "rewrite_data_files analog); runs after commit/retention",
+    )
     args = ap.parse_args()
 
     # imports resolve from --py-files on executors
@@ -95,6 +101,15 @@ def main() -> None:
             run_id=args.run_id, checkpoint_path=args.checkpoint,
         )
         print(f"retention dropped {log.count()} raw partitions")
+
+    if args.compact_target_mb:
+        from rasusa_spark.sources.table import compact_tokens_table
+
+        n = compact_tokens_table(
+            spark, os.path.join(args.output, "retained"),
+            target_file_bytes=args.compact_target_mb << 20,
+        )
+        print(f"compacted {n} retained partitions")
     spark.stop()
 
 

@@ -108,3 +108,33 @@ def test_run_job_cli(spark, tmp_path):
     assert "committed" in out.stdout
     assert os.path.exists(str(tmp_path / "out" / "rollup_1h"))
     assert os.path.exists(str(tmp_path / "out" / "metric_blobs_1h"))
+
+
+def test_compact_tokens_table(spark, tmp_path):
+    from rasusa_spark.sources.table import compact_tokens_table
+
+    loc = str(tmp_path / "tok")
+    df = tokens_raw_df(spark, 4000, with_tokens=False, partitions=8)
+    write_tokens_table(df, loc, mode="overwrite")
+    before = read_tokens_table(spark, loc)
+    rows_before = sorted(
+        (r.doc_id, r.n_tok, r.source) for r in before.select("doc_id", "n_tok", "source").collect()
+    )
+    dirs = glob.glob(os.path.join(loc, "source=*", "bucket_day=*"))
+    files_before = {d: len(glob.glob(os.path.join(d, "*.parquet"))) for d in dirs}
+    assert max(files_before.values()) > 1  # small-file problem planted
+
+    n = compact_tokens_table(spark, loc, target_file_bytes=1 << 30)
+    assert n == len(dirs)
+    files_after = {d: len(glob.glob(os.path.join(d, "*.parquet"))) for d in dirs}
+    assert all(c == 1 for c in files_after.values())
+    rows_after = sorted(
+        (r.doc_id, r.n_tok, r.source)
+        for r in read_tokens_table(spark, loc).select("doc_id", "n_tok", "source").collect()
+    )
+    assert rows_after == rows_before  # data byte-identical
+
+    # second pass: nothing to do, nothing rewritten
+    mtimes = {d: os.path.getmtime(d) for d in dirs}
+    assert compact_tokens_table(spark, loc, target_file_bytes=1 << 30) == 0
+    assert {d: os.path.getmtime(d) for d in dirs} == mtimes
