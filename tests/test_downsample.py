@@ -216,3 +216,24 @@ def test_threshold_many_groups_matches_window(spark):
     a = sorted(r.doc_id for r in got_t.select("doc_id").collect())
     b = sorted(r.doc_id for r in got_w.select("doc_id").collect())
     assert a == b and len(a) > 0
+
+
+def test_empty_input_flows_through_pipeline(spark):
+    """Empty-relation edge: downsample / rollup / gap_fill on a filtered-
+    to-empty parquet scan return empty results instead of erroring (a
+    micro-batch with no rows for a bucket is routine at scale)."""
+    from rasusa_spark.operators.rollup import gap_fill, rollup
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("n_tok", F.round(F.col("value") * 100).cast("int"))
+        .where(F.col("event_type") == "no_such_type")
+    )
+    kept = downsample(
+        ev, seed=1, group_cols=("event_type",), mode="bases", bases=1000,
+        id_col="event_id", weight_col="n_tok", strategy="threshold",
+    )
+    assert kept.count() == 0
+    h1 = rollup(ev, "1h", group_cols=("event_type",))
+    assert h1.count() == 0
+    assert gap_fill(h1, "1h", group_cols=("event_type",)).count() == 0
