@@ -431,6 +431,14 @@ def test_split_assign_deterministic_and_proportional(spark, docs):
     assert 0 < counts.get("val", 0) / total < 0.15
 
 
+def test_line_dedup_layout_invariance(spark, docs):
+    from rasusa_spark.operators.dedup import line_dedup
+
+    a = line_dedup(docs)
+    b = line_dedup(docs.repartition(13))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_line_dedup_matches_python_reference(spark):
     # randomized corpus vs a direct single-threaded reference implementation
     import random
