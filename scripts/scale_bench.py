@@ -142,8 +142,17 @@ def main() -> None:
 
     results = []
     for cpus in [int(c) for c in args.cpu_list.split(",")]:
+        # SCALE_BENCH_TASKSET=1 pins each leg's JVM to cores [0, cpus) —
+        # models dedicated executor cores and removes scheduler-migration
+        # noise from the comparison (documented in BENCH/BASELINE.md when
+        # used; both legs pinned the same way, so the ratio stays fair)
+        pin = (
+            ["taskset", "-c", f"0-{cpus - 1}"]
+            if os.environ.get("SCALE_BENCH_TASKSET") == "1"
+            else []
+        )
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run-one", str(cpus)],
+            pin + [sys.executable, os.path.abspath(__file__), "--run-one", str(cpus)],
             capture_output=True,
             text=True,
             check=True,
