@@ -596,18 +596,25 @@ def q_minhash_pairs(spark, sf_dir):
     generation (the only corpus-wide pass) + EXACT shingle-Jaccard
     verification of the candidates. Oracle-able because the output is
     defined by exact Jaccard; the oracle equality doubles as a recall
-    check on the banding (16 bands × 4 rows misses a j=0.9 pair with
-    p≈4e-8)."""
+    check on the banding. Banding is 32 bands × 2 rows: a true pair AT the
+    j=0.5 threshold is missed with p=(1-0.25)^32 ≈ 1e-4 (vs ~35 % for
+    16×4 — the ADVICE r2 fragility), dropping to 2e-9 at j=0.7; that
+    residual is the accepted recall bound of the recipe, deterministic per
+    seed, not exact equality by construction."""
     docs = _load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.5, verify_exact=True)
+    return minhash_lsh_pairs(docs, threshold=0.5, n_bands=32, verify_exact=True)
 
 
 def q_simhash_pairs(spark, sf_dir):
     """Simhash near-dup pairs at the standard 64-bit radius (Manku WWW'07:
     k=3); banding into k+1=4 16-bit blocks gives EXACT recall by pigeonhole
-    (round-1 used radius 12 over 4 blocks — a recall hole, since fixed)."""
+    (round-1 used radius 12 over 4 blocks — a recall hole, since fixed).
+    ``portable=True`` computes word hashes from md5 so the DuckDB oracle
+    can rebuild the signatures bit-for-bit; the oracle is the BRUTE-FORCE
+    all-pairs bit_count(xor) ≤ 3 definition, so equality externally proves
+    the pigeonhole recall claim, not just agreement on the banded subset."""
     docs = _load(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3)
+    return simhash_pairs(docs, max_hamming=3, portable=True)
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -696,10 +703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rollup_1d": q_salted_rollup_1d,
         "json_props": q_json_props,
         "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
         # rows-only (exact-RNG parity / LSH approximations):
         "golden_num10_seed1": q_golden_num10_seed1,
         "golden_onepass_seed1": q_golden_onepass_seed1,
-        "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
@@ -728,6 +735,51 @@ SELECT *, (l_orderkey*{_KNUTH} + l_linenumber*40503) % 4294967296 AS k,
        l_orderkey*8 + l_linenumber AS li_id,
        CAST(round(l_quantity) AS BIGINT) AS w_qty
 FROM lineitem
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Brute-force all-pairs simhash oracle over the PORTABLE (md5-derived)
+    word-hash family — recomputes every 64-bit signature from scratch in SQL
+    (two 32-bit halves so no step leaves signed-64 range) and emits every
+    pair with Hamming ≤ max_hamming. Spark's banded candidate generation
+    must reproduce this EXACTLY, so oracle equality externally proves the
+    pigeonhole recall guarantee (dedup.py simhash_pairs_from_signatures)."""
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN ({'lo' if i < 32 else 'hi'} // {1 << (i % 32)}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    lo_pack = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    hi_pack = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << (i - 32)} ELSE 0 END)" for i in range(32, 64)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents),
+wh AS (SELECT doc_id,
+        CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) AS BIGINT) AS hi,
+        CAST(CAST('0x' || substr(md5(w), 9, 8) AS UBIGINT) AS BIGINT) AS lo
+       FROM words WHERE w != ''),
+votes AS (SELECT doc_id,
+    {votes}
+  FROM wh GROUP BY doc_id),
+packed AS (SELECT doc_id,
+    CAST({lo_pack} AS BIGINT) AS sig_lo,
+    CAST({hi_pack} AS BIGINT) AS sig_hi
+  FROM votes),
+sigs AS (SELECT d.doc_id,
+    coalesce(p.sig_lo, 0) AS sig_lo, coalesce(p.sig_hi, 0) AS sig_hi
+  FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+          + bit_count(xor(a.sig_hi, b.sig_hi)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+    + bit_count(xor(a.sig_hi, b.sig_hi)) <= {max_hamming}
 """
 
 
@@ -998,6 +1050,7 @@ SELECT id_a, id_b, round(i::DOUBLE/(s1.sz + s2.sz - i), 6) AS jaccard
 FROM inter JOIN sz s1 ON id_a = s1.doc_id JOIN sz s2 ON id_b = s2.doc_id
 WHERE i::DOUBLE/(s1.sz + s2.sz - i) >= 0.5
 """,
+        "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "prepare_pipeline": """
 WITH RECURSIVE
 base AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 20 <> 0),

@@ -19,6 +19,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from rasusa_spark.operators.dedup import release_dedup_caches  # noqa: E402
+from rasusa_spark.operators.downsample import release_threshold_caches  # noqa: E402
 from rasusa_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -69,6 +71,11 @@ def main() -> None:
     for name in HEADLINE:
         best = None
         for _ in range(repeats):
+            # unpersist + drop the registered cache handles (clearCache alone
+            # frees blocks but leaves the registries growing — ADVICE r2),
+            # then clear any remaining cached plans
+            release_dedup_caches()
+            release_threshold_caches()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

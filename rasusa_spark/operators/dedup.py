@@ -505,9 +505,13 @@ def minhash_lsh_pairs(
             .union(cand.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
+        # no broadcast hint: on a high-duplication corpus the candidate id
+        # set is unbounded and a forced broadcast is a driver OOM at 100 TB;
+        # AQE picks broadcast on its own whenever the set is actually small
+        # (verified in PLANS.md — the sf0.1 plan still shows a broadcast).
         sets = (
             word_shingles_hashed(df, shingle_n, text_col, id_col)
-            .join(F.broadcast(cand_ids), id_col, "left_semi")
+            .join(cand_ids, id_col, "left_semi")
             .groupBy(id_col)
             .agg(F.collect_set("_shh").alias("_set"))
         )
@@ -552,17 +556,36 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 
-def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
     """64-bit simhash (sign-sum of per-bit votes over word hashes) — JVM-side:
-    explode words, ``xxhash64`` each once, then 64 ±1-vote ``sum()``
-    aggregates in one map-side-combinable groupBy; the signature is rebuilt
-    by OR-ing the vote signs back into bit positions. Docs whose text has no
-    words get simhash 0 (all votes empty), same as the round-1 Python path."""
+    explode words, hash each once, then 64 ±1-vote ``sum()`` aggregates in
+    one map-side-combinable groupBy; the signature is rebuilt by OR-ing the
+    vote signs back into bit positions. Docs whose text has no words get
+    simhash 0 (all votes empty), same as the round-1 Python path.
+
+    ``portable=False`` (default) hashes words with ``xxhash64`` — the fast
+    production family. ``portable=True`` builds the 64-bit word hash from
+    the first 16 hex chars of ``md5(word)`` (two 32-bit halves assembled
+    with bit ops, so nothing overflows ANSI arithmetic) — any SQL engine
+    with ``md5`` can reproduce the signatures bit-for-bit, which is what
+    the driver's DuckDB oracle does. The hash family only relabels the
+    uniform 64-bit vote space; operator semantics are identical."""
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_w"),
     ).where(F.col("_w") != "")
-    hashed = words.select(F.col(id_col), F.xxhash64("_w").alias("_h"))
+    if portable:
+        hi = F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5("_w"), 9, 8), 16, 10).cast("long")
+        word_hash = F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        word_hash = F.xxhash64("_w")
+    hashed = words.select(F.col(id_col), word_hash.alias("_h"))
     votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(
@@ -605,6 +628,7 @@ def simhash_pairs_from_signatures(
     id_col: str = "doc_id",
     sig_col: str = "simhash",
     n_chunks: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """All pairs with Hamming(sig_a, sig_b) ≤ ``max_hamming`` — EXACT recall.
 
@@ -621,7 +645,28 @@ def simhash_pairs_from_signatures(
     ⇒ narrow blocks ⇒ more collisions, so at web scale keep the radius small
     (the standard 64-bit near-dup radius is 3, giving 16-bit blocks). Passing
     ``n_chunks < max_hamming + 1`` is rejected rather than silently losing
-    recall (the round-1 defect this replaces)."""
+    recall (the round-1 defect this replaces).
+
+    ``bucket_cap`` (opt-in) bounds the adversarial quadratic corner — a
+    corpus where one bucket holds millions of members:
+
+    - identical-signature groups larger than the cap collapse to STAR edges
+      around the min-id representative (``(rep, member, hamming=0)``), and
+      only the representative enters the banded join. Any outside doc within
+      radius h of a member is within radius h of the representative (their
+      signatures are identical), so the output's TRANSITIVE CLOSURE — which
+      is what dedup_clusters consumes — is unchanged; what is elided is the
+      Θ(n²) explicit clique, replaced by n−1 edges.
+    - (chunk,val) buckets that still exceed the cap (block-value collisions
+      between distinct signatures) get SECOND-LEVEL banding: members are
+      re-banded on the byte-rotated signature into another max_hamming+1
+      blocks and must also agree on one of those. Rotation is a bijection on
+      bit positions, so a qualifying pair still has ≤ max_hamming diffs over
+      the rotated blocks → one rotated block equal (pigeonhole again) —
+      exact recall is preserved while the bucket is cut by ~2^sub_width.
+
+    With ``bucket_cap=None`` (default) the output is the complete pair list
+    and no extra shuffles run."""
     if n_chunks is None:
         n_chunks = max_hamming + 1
     if n_chunks < max_hamming + 1:
@@ -631,6 +676,24 @@ def simhash_pairs_from_signatures(
         )
     if n_chunks > 64:
         raise ValueError("n_chunks must be ≤ 64 (one bit per block minimum)")
+
+    star = None
+    if bucket_cap is not None:
+        grp = sigs.groupBy(sig_col).agg(
+            F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_rep")
+        )
+        tagged = sigs.join(grp, on=sig_col)
+        star = tagged.where(
+            (F.col("_n") > bucket_cap) & (F.col(id_col) != F.col("_rep"))
+        ).select(
+            F.col("_rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+        sigs = tagged.where(
+            (F.col("_n") <= bucket_cap) | (F.col(id_col) == F.col("_rep"))
+        ).select(id_col, sig_col)
+
     chunk_structs = F.array(
         *[
             F.struct(
@@ -645,9 +708,52 @@ def simhash_pairs_from_signatures(
     chunks = sigs.select(
         id_col, sig_col, F.explode(chunk_structs).alias("c")
     ).select(id_col, sig_col, F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+
+    join_keys = ["chunk", "val"]
+    if bucket_cap is not None:
+        counts = chunks.groupBy("chunk", "val").agg(F.count(F.lit(1)).alias("_bn"))
+        rot = F.shiftrightunsigned(F.col(sig_col), 8).bitwiseOR(
+            F.shiftleft(F.col(sig_col), 56)
+        )
+        sub_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("sub"),
+                    F.shiftrightunsigned(rot, shift)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("subval"),
+                )
+                for j, (shift, width) in enumerate(_simhash_chunk_bounds(n_chunks))
+            ]
+        )
+        no_sub = F.array(
+            F.struct(F.lit(-1).alias("sub"), F.lit(0).cast("long").alias("subval"))
+        )
+        chunks = (
+            chunks.join(counts, on=["chunk", "val"])
+            .select(
+                id_col,
+                sig_col,
+                "chunk",
+                "val",
+                F.explode(
+                    F.when(F.col("_bn") > bucket_cap, sub_structs).otherwise(no_sub)
+                ).alias("s"),
+            )
+            .select(
+                id_col,
+                sig_col,
+                "chunk",
+                "val",
+                F.col("s.sub").alias("sub"),
+                F.col("s.subval").alias("subval"),
+            )
+        )
+        join_keys = ["chunk", "val", "sub", "subval"]
+
     cand = (
         chunks.alias("x")
-        .join(chunks.alias("y"), on=["chunk", "val"])
+        .join(chunks.alias("y"), on=join_keys)
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
@@ -657,11 +763,12 @@ def simhash_pairs_from_signatures(
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return out.unionByName(star) if star is not None else out
 
 
 def ngram_contamination(
@@ -731,13 +838,22 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_chunks: int | None = None,
+    portable: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming. Candidate
     generation bands the 64-bit signature into ``max_hamming + 1`` blocks
     (exact recall by pigeonhole — see simhash_pairs_from_signatures), then
-    verifies exactly via bit_count(xor)."""
-    sigs = simhash_signatures(df, text_col, id_col).cache()
+    verifies exactly via bit_count(xor). ``portable=True`` switches the
+    word-hash family to the md5-derived one any SQL engine can reproduce
+    (see simhash_signatures); ``bucket_cap`` bounds adversarial dense
+    buckets (see simhash_pairs_from_signatures)."""
+    sigs = simhash_signatures(df, text_col, id_col, portable=portable).cache()
     _DEDUP_CACHES.append(sigs)
     return simhash_pairs_from_signatures(
-        sigs, max_hamming=max_hamming, id_col=id_col, n_chunks=n_chunks
+        sigs,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        n_chunks=n_chunks,
+        bucket_cap=bucket_cap,
     )

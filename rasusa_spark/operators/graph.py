@@ -39,6 +39,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Component label per node: ``(node, component)`` where ``component``
     is the minimum node id reachable from ``node`` (any orderable id type).
@@ -64,7 +65,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         nb_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -95,6 +96,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = round_no
             return labels.select(F.col("node"), F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"

@@ -157,12 +157,25 @@ def ivf_build_centroids(
     iters: int = 8,
     seed: int = 7,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """IVF coarse quantizer: k-means on a bounded driver-side sample (the
     standard IVF training recipe — training is O(sample), independent of
-    table size; assignment below stays distributed). Returns (n_cells, dim)."""
-    rows = df.select(vec_col).limit(sample).collect()
-    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    table size; assignment below stays distributed). Returns (n_cells, dim).
+
+    The sample is the ``sample`` rows with the smallest
+    ``xxhash64(id, seed)`` — a seeded hash-threshold sample, so centroids
+    depend only on (seed, ids), never on partition layout (CLAUDE.md
+    invariance convention; a bare ``limit()`` would take whichever rows
+    arrive first and change across cluster sizes). orderBy+limit compiles
+    to TakeOrdered — per-partition heap, no global sort."""
+    rows = (
+        df.select(F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"), vec_col)
+        .orderBy("_h")
+        .limit(sample)
+        .collect()
+    )
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
     for _ in range(iters):
@@ -210,6 +223,86 @@ def ivf_topk(
     assigned = ivf_assign(df, centroids, vec_col)
     cand = assigned.where(F.col("ivf_cell").isin(probe_cells))
     return cosine_topk(cand, query, k, vec_col, id_col)
+
+
+def write_ivf_partitioned(
+    df: DataFrame,
+    location: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the embedding table partitioned by ``ivf_cell`` — the
+    storage layout that turns IVF probing into PARTITION PRUNING: a search
+    reads only the ``nprobe`` probed directories (Iceberg: manifest
+    pruning), never the other cells' bytes. This is the 100-TB posture the
+    in-memory ``ivf_topk`` docstring promises; ``ivf_topk_pruned`` consumes
+    it and PLANS.md carries the pruned-scan evidence."""
+    ivf_assign(df, centroids, vec_col).write.mode("overwrite").partitionBy(
+        "ivf_cell"
+    ).parquet(location)
+
+
+def ivf_topk_pruned(
+    spark,
+    location: str,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search over a cell-partitioned store: ``ivf_cell IN (probes)``
+    is a partition-column predicate, so Spark prunes non-probed cells at
+    planning time (``PartitionFilters`` in the scan node — zero I/O for
+    unprobed cells). Results are identical to ``ivf_topk`` on the same
+    centroids by construction (same cells, same exact cosine)."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = [int(c) for c in (centroids @ q).argsort()[::-1][:nprobe]]
+    df = spark.read.parquet(location).where(F.col("ivf_cell").isin(probe_cells))
+    return cosine_topk(df, query, k, vec_col, id_col)
+
+
+def write_lsh_partitioned(
+    df: DataFrame,
+    location: str,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> None:
+    """Embedding table partitioned by hyperplane ``lsh_bucket`` — the same
+    pruned-storage posture as ``write_ivf_partitioned`` for the multi-probe
+    LSH path."""
+    hyperplane_signature(df, n_bits, dim, seed, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("lsh_bucket").parquet(location)
+
+
+def lsh_topk_pruned(
+    spark,
+    location: str,
+    query: list[float],
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Multi-probe LSH search over a bucket-partitioned store — the probed
+    bucket list becomes a partition filter (scan reads ~(probes / 2^bits)
+    of the table's directories)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_bits, len(query)))
+    qbits = (np.asarray(query, dtype=np.float64) @ planes.T) > 0
+    qbucket = int(qbits @ (1 << np.arange(n_bits)))
+    probes = [qbucket] + [
+        qbucket ^ (1 << i) for i in range(n_bits) if probe_hamming >= 1
+    ]
+    df = spark.read.parquet(location).where(F.col("lsh_bucket").isin(probes))
+    return cosine_topk(df, query, k, vec_col, id_col)
 
 
 def embedding_near_duplicates(

@@ -96,10 +96,20 @@ def run_downsample_job(
     checkpoint_path: str,
     run_id: str,
     max_buckets: int | None = None,
+    preserve_order: bool = False,
+    order_col: str = "row_idx",
 ) -> DataFrame:
     """Execute (or resume) the job. ``max_buckets`` is a test hook that
     stops after committing that many buckets — simulating a mid-run crash.
-    Returns the commit rows written by THIS invocation."""
+    Returns the commit rows written by THIS invocation.
+
+    ``preserve_order=True`` writes each retained partition as ONE file
+    sorted by ``order_col`` — the engine analog of the reference's pass-2
+    emission in input order (fastx.rs:338-392): reading a partition
+    directory back yields retained rows exactly in input order, for any
+    strategy (window/threshold selection is set-semantics otherwise). Costs
+    one extra shuffle on the partition key + an in-task sort; leave off
+    when consumers re-sort or don't care (the common table-store case)."""
     bucketed = _bucketed(df, job.bucket_unit)
     group_cols = [*job.group_cols, "bucket_start"]
 
@@ -132,6 +142,10 @@ def run_downsample_job(
     out = kept.withColumn(
         "bucket_id", F.date_format("bucket_start", "yyyyMMdd'T'HHmmss")
     )
+    if preserve_order:
+        out = out.repartition("source", "bucket_id").sortWithinPartitions(
+            "source", "bucket_id", order_col
+        )
     out.write.mode("overwrite").partitionBy("source", "bucket_id").parquet(
         os.path.join(output_path, "retained")
     )

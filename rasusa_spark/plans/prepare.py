@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    _DEDUP_CACHES,
     dedup_clusters,
     dedup_exact,
     ngram_contamination,
@@ -105,6 +106,10 @@ def prepare_training_data(
     # here, which a caller can do instead by materializing `out` itself).
     if jaccard_threshold is not None:
         out = out.persist()
+        # registered for release_dedup_caches() like every other dedup-path
+        # persist — long-lived sessions reclaim the blocks once results are
+        # materialized (ADVICE r2)
+        _DEDUP_CACHES.append(out)
         pairs = ngram_jaccard_pairs(
             out, n=shingle_n, threshold=jaccard_threshold,
             text_col=text_col, id_col=id_col,

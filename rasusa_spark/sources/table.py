@@ -88,43 +88,52 @@ def compact_tokens_table(
     then scales with file count, not bytes — compaction restores it.
 
     Scale shape: the partition inventory is a driver-side METADATA listing
-    (O(partitions), the same order as an Iceberg manifest scan — never row
-    data). All partitions needing work are rewritten in ONE distributed
-    job: rows join a broadcast per-partition output-slot plan, shuffle once
-    on (partition, slot), and dynamic partition overwrite commits only the
+    through the Hadoop FileSystem API (O(partitions), the same order as an
+    Iceberg manifest scan — never row data; works on local paths, HDFS and
+    S3A alike, exactly like plans/retention.py's delete path). All
+    partitions needing work are rewritten in ONE distributed job: rows
+    join a broadcast per-partition output-slot plan, shuffle once on
+    (partition, slot), and dynamic partition overwrite commits only the
     touched directories (untouched partitions keep their files byte-for-
     byte). Returns the number of partitions compacted.
     """
     import math
 
-    todo, keys = [], None
-    for e1 in os.scandir(location):
-        if not e1.is_dir() or "=" not in e1.name:
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    root = jvm_path(location)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    qualified_root = fs.makeQualified(root)
+
+    todo, keys, part_paths = [], None, []
+    for st1 in fs.listStatus(qualified_root):
+        name1 = st1.getPath().getName()
+        if not st1.isDirectory() or "=" not in name1:
             continue
-        k1, v1 = e1.name.split("=", 1)
-        for e2 in os.scandir(e1.path):
-            if not e2.is_dir() or "=" not in e2.name:
+        k1, v1 = name1.split("=", 1)
+        for st2 in fs.listStatus(st1.getPath()):
+            name2 = st2.getPath().getName()
+            if not st2.isDirectory() or "=" not in name2:
                 continue
-            k2, v2 = e2.name.split("=", 1)
+            k2, v2 = name2.split("=", 1)
             if keys is None:
                 keys = (k1, k2)
             files = [
-                f for f in os.scandir(e2.path)
-                if f.is_file() and f.name.endswith(".parquet")
+                f
+                for f in fs.listStatus(st2.getPath())
+                if f.isFile() and f.getPath().getName().endswith(".parquet")
             ]
-            nbytes = sum(f.stat().st_size for f in files)
+            nbytes = sum(f.getLen() for f in files)
             n_out = max(1, math.ceil(nbytes / target_file_bytes))
             if len(files) >= min_files and n_out < len(files):
                 todo.append((v1, v2, n_out))
+                part_paths.append(st2.getPath().toString())
     if not todo:
         return 0
 
     k1, k2 = keys
     plan = spark.createDataFrame(todo, f"_pv1 string, _pv2 string, n_out int")
-    paths = [
-        os.path.join(location, f"{k1}={a}", f"{k2}={b}") for a, b, _ in todo
-    ]
-    df = spark.read.option("basePath", location).parquet(*paths)
+    paths = part_paths
+    df = spark.read.option("basePath", qualified_root.toString()).parquet(*paths)
     total_slots = sum(n for _, _, n in todo)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -48,17 +49,20 @@ def _budget_fn(budget: int):
     ) -> Iterator[pd.DataFrame]:
         kept_rows, kept_tokens = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            if kept_tokens >= budget:
-                break
-            out_rows = []
-            for row in pdf.itertuples(index=False):
-                if kept_tokens >= budget:
-                    break
-                out_rows.append(row)
-                kept_tokens += int(row.n_tok)
-                kept_rows += 1
-            if out_rows:
-                yield pd.DataFrame(out_rows, columns=list(pdf.columns))
+            if kept_tokens >= budget or pdf.empty:
+                continue
+            toks = pdf["n_tok"].to_numpy(dtype="int64")
+            # Exclusive prefix sum of tokens, offset by carried state: a row
+            # is kept while the group's tokens BEFORE it are under budget
+            # (crossing row kept, subsampler.rs:83-91). n_tok >= 0, so the
+            # prefix is nondecreasing and searchsorted finds the first row
+            # whose pre-row total already meets the budget.
+            prev = kept_tokens + np.cumsum(toks) - toks
+            n_keep = int(np.searchsorted(prev, budget, side="left"))
+            if n_keep:
+                kept_tokens += int(toks[:n_keep].sum())
+                kept_rows += n_keep
+                yield pdf.iloc[:n_keep]
         state.update((kept_rows, kept_tokens))
 
     return decide

@@ -138,6 +138,27 @@ def main() -> None:
              grab(entrymod.q_region_revenue(spark, "/root/testdata/sf0.001")))
         )
 
+    embs_path = "/root/testdata/sf0.001/embeddings.parquet"
+    if os.path.exists(embs_path):
+        from rasusa_spark.operators.similarity import (
+            ivf_build_centroids,
+            ivf_topk_pruned,
+            write_ivf_partitioned,
+        )
+
+        embs = spark.read.parquet(embs_path)
+        cents = ivf_build_centroids(embs, n_cells=8, sample=256, seed=5)
+        ivf_loc = "/tmp/rasusa_plan_audit_ivf"
+        write_ivf_partitioned(embs, ivf_loc, cents)
+        sections.append(
+            ("IVF ANN over a cell-partitioned store (probe list -> "
+             "PartitionFilters: non-probed cells never read — the 100-TB "
+             "pruning posture, on disk, not a docstring)",
+             grab(ivf_topk_pruned(spark, ivf_loc, [1.0] * 64, cents,
+                                  k=10, nprobe=3)))
+        )
+
+    if os.path.exists(docs_path):
         from rasusa_spark.plans.prepare import prepare_training_data
 
         prep = prepare_training_data(

@@ -56,6 +56,38 @@ def test_resume_equals_single_shot(spark, raw2k, tmp_path):
     assert _rows(read_retained(spark, res_out)) == truth
 
 
+def test_preserve_order_writes_input_order(spark, raw2k, tmp_path):
+    """P2 ordered-write option (fastx.rs:338-392: pass-2 emits records in
+    input order): with preserve_order=True every retained partition is one
+    file sorted by row_idx, so reading a partition back yields retained rows
+    exactly in input order — for the set-semantics strategies too."""
+    import glob
+
+    for strategy in ("threshold", "window"):
+        job = DownsampleJob(seed=99, mode="bases", bases=5000, strategy=strategy)
+        out = str(tmp_path / f"ordered_{strategy}")
+        ck = str(tmp_path / f"ordered_{strategy}_ck")
+        run_downsample_job(
+            spark, raw2k, job, out, ck, run_id="r0", preserve_order=True
+        )
+        part_dirs = sorted(glob.glob(f"{out}/retained/source=*/bucket_id=*"))
+        assert part_dirs
+        for d in part_dirs[:6]:
+            files = glob.glob(f"{d}/*.parquet")
+            assert len(files) == 1, f"{d}: expected ONE sorted file"
+            idx = [r.row_idx for r in spark.read.parquet(files[0]).collect()]
+            assert idx == sorted(idx), f"{d} not in input order"
+        # same retained SET as the unordered write
+        plain_out = str(tmp_path / f"plain_{strategy}")
+        run_downsample_job(
+            spark, raw2k, job, plain_out, str(tmp_path / f"plain_{strategy}_ck"),
+            run_id="r1",
+        )
+        assert _rows(read_retained(spark, out)) == _rows(
+            read_retained(spark, plain_out)
+        )
+
+
 def test_commit_log_lineage_fields(spark, raw2k, tmp_path):
     out, ck = str(tmp_path / "o"), str(tmp_path / "c")
     run_downsample_job(spark, raw2k, JOB, out, ck, run_id="runA")

@@ -544,6 +544,235 @@ def test_simhash_banding_exact_recall(spark):
     assert full == truth
 
 
+def test_simhash_bucket_cap_dense_adversarial(spark):
+    """Adversarial dense-bucket guard (VERDICT r2 #7): 10⁴ docs with an
+    IDENTICAL signature must not generate the Θ(n²) clique — with
+    ``bucket_cap`` they collapse to n−1 star edges around the min-id
+    representative, and an outside doc within the radius still reaches the
+    group through the representative (closure-equivalence)."""
+    from rasusa_spark.operators.dedup import simhash_pairs_from_signatures
+
+    n = 10_000
+    dense_sig = 0x0123456789ABCDEF  # top bit clear — already a valid int64
+    rows = [(i, dense_sig) for i in range(n)]
+    # an outside doc at hamming 2 from the dense signature
+    near = dense_sig ^ (1 << 3) ^ (1 << 40)
+    rows.append((n + 5, near))
+    # and a far doc that must NOT pair with anything
+    rows.append((n + 6, dense_sig ^ 0x00FF00FF00FF00FF))
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = simhash_pairs_from_signatures(
+        sigs, max_hamming=3, bucket_cap=100
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in got}
+    # candidate/output bound: n-1 stars + 1 cross pair — NOT C(n,2) ≈ 5e7
+    assert len(pairs) == n, f"expected {n} pairs, got {len(pairs)}"
+    stars = [(a, b) for (a, b), h in pairs.items() if h == 0]
+    assert len(stars) == n - 1 and all(a == 0 for a, _ in stars)
+    assert pairs.get((0, n + 5)) == 2  # rep carries the cross pair
+    assert not any(b == n + 6 or a == n + 6 for a, b in pairs)
+
+
+def test_simhash_bucket_cap_subband_block_collision(spark):
+    """Second-level banding: many docs sharing ONE 16-bit block value (but
+    otherwise far apart) blow up a (chunk,val) bucket; with ``bucket_cap``
+    they are re-banded on the rotated signature, and the one planted true
+    pair must still be found (pigeonhole recall through the sub-band)."""
+    import random
+
+    from rasusa_spark.operators.dedup import simhash_pairs_from_signatures
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(500):
+        # block 0 (low 16 bits) pinned to 0xBEEF; high 48 bits random —
+        # pairwise hamming of random 48 bits ≈ 24, far beyond radius 3
+        sig = 0xBEEF | (rng.getrandbits(48) << 16)
+        rows.append((i, sig - (1 << 64) if sig >= (1 << 63) else sig))
+    base = 0xBEEF | (0x123456789ABC << 16)
+    mate = base ^ (1 << 20) ^ (1 << 45) ^ (1 << 63)  # hamming 3, all outside block 0
+    rows.append((9001, base - (1 << 64) if base >= (1 << 63) else base))
+    rows.append((9002, mate - (1 << 64) if mate >= (1 << 63) else mate))
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    capped = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs_from_signatures(
+            sigs, max_hamming=3, bucket_cap=50
+        ).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs_from_signatures(sigs, max_hamming=3).collect()
+    }
+    assert capped.get((9001, 9002)) == 3
+    assert capped == uncapped  # no distinct-signature dupes ⇒ identical output
+
+
+def test_simhash_bucket_cap_spread_bits_recall_unchanged(spark):
+    """The existing spread-bits recall property holds verbatim with the
+    bucket guard enabled (buckets are tiny here — the guard must be a
+    no-op on output)."""
+    from rasusa_spark.operators.dedup import simhash_pairs_from_signatures
+
+    rows = []
+    base = 0x0123456789ABCDEF
+
+    def s64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    next_id = 0
+    expected = []
+    for h in range(4, 13):
+        # distinct base per level: a shared base would form an identical-
+        # signature group that the cap CORRECTLY collapses to star edges
+        base_h = base ^ (h << 56)
+        flips = [(i % 4) * 16 + (i // 4) + h for i in range(h)]
+        sig = base_h
+        for b in flips:
+            sig ^= 1 << b
+        rows += [(next_id, s64(base_h)), (next_id + 1, s64(sig))]
+        expected.append((next_id, next_id + 1, h))
+        next_id += 2
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs_from_signatures(
+            sigs, max_hamming=12, bucket_cap=3
+        ).collect()
+    }
+    for a, b, h in expected:
+        assert got.get((a, b)) == h, f"pair at hamming {h} missed with bucket_cap"
+
+
+def test_simhash_portable_hash_family(spark, docs):
+    """The portable (md5-derived) word-hash family produces valid signatures:
+    clone pairs land at hamming 0 and the operator output is identical
+    across partition layouts (the family feeds the driver's DuckDB oracle)."""
+    doubled = docs.limit(30).union(
+        docs.limit(30).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(doubled, max_hamming=2, portable=True).collect()
+    }
+    ids = [r.doc_id for r in docs.limit(30).select("doc_id").collect()]
+    assert sum(pairs.get((i, i + 100000)) == 0 for i in ids) >= 0.9 * len(ids)
+    relaid = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(
+            doubled.repartition(7), max_hamming=2, portable=True
+        ).collect()
+    }
+    assert pairs == relaid
+
+
+def test_ivf_layout_invariance(spark, embs):
+    """IVF centroids (and therefore ivf_topk) are a pure function of
+    (seed, ids) — repartitioning the table must not change the result
+    (VERDICT r2 'What's wrong' #3: the old limit()-based sample was
+    partition-layout-dependent)."""
+    from rasusa_spark.operators.similarity import ivf_build_centroids, ivf_topk
+
+    q = [1.0] * 64
+    c1 = ivf_build_centroids(embs, n_cells=8, sample=300, seed=5)
+    c2 = ivf_build_centroids(embs.repartition(13), n_cells=8, sample=300, seed=5)
+    assert np.allclose(c1, c2)
+    r1 = [(r.vec_id, r.cosine) for r in ivf_topk(embs, q, c1, k=5, nprobe=3).collect()]
+    r2 = [
+        (r.vec_id, r.cosine)
+        for r in ivf_topk(embs.repartition(13), q, c2, k=5, nprobe=3).collect()
+    ]
+    assert r1 == r2
+
+
+def test_ivf_partition_pruned_store(spark, embs, tmp_path):
+    """The 'at 100 TB this becomes partition pruning' claim made real
+    (VERDICT r2 next #6): embeddings written partitioned by ivf_cell, the
+    probe filter shows up as PartitionFilters in the scan (non-probed cells
+    are never read), and the pruned result equals the in-memory path."""
+    import contextlib
+    import io
+
+    from rasusa_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_topk,
+        ivf_topk_pruned,
+        write_ivf_partitioned,
+    )
+
+    cents = ivf_build_centroids(embs, n_cells=8, sample=300, seed=5)
+    loc = str(tmp_path / "ivf_store")
+    write_ivf_partitioned(embs, loc, cents)
+    q = [1.0] * 64
+    pruned = ivf_topk_pruned(spark, loc, q, cents, k=5, nprobe=3)
+    base = ivf_topk(embs, q, cents, k=5, nprobe=3)
+    assert [(r.vec_id, r.cosine) for r in pruned.collect()] == [
+        (r.vec_id, r.cosine) for r in base.collect()
+    ]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    # the partition filter must not be empty (pushed, not post-scan)
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "ivf_cell" in m.group(1)
+
+
+def test_lsh_partition_pruned_store(spark, embs, tmp_path):
+    import contextlib
+    import io
+
+    from rasusa_spark.operators.similarity import (
+        lsh_topk_pruned,
+        write_lsh_partitioned,
+    )
+
+    loc = str(tmp_path / "lsh_store")
+    write_lsh_partitioned(embs, loc, n_bits=6)
+    q = [1.0] * 64
+    pruned = lsh_topk_pruned(spark, loc, q, k=10, n_bits=6)
+    base = lsh_bucket_topk(embs, q, k=10, n_bits=6)
+    assert [(r.vec_id, r.cosine) for r in pruned.collect()] == [
+        (r.vec_id, r.cosine) for r in base.collect()
+    ]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan
+
+
+def test_connected_components_large_chain_star(spark):
+    """Pointer-doubling depth evidence beyond shallow dedup graphs
+    (VERDICT r2 next #10): a ~10⁶-edge chain+star mix. The chain has
+    diameter 16384; plain propagation would need ~16k rounds — pointer
+    doubling must converge in O(log diameter)."""
+    import math
+
+    from rasusa_spark.operators.graph import connected_components
+
+    chain_n = 16_384
+    star_n = 1_000_000
+    chain = spark.range(chain_n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    center = 10_000_000
+    star = spark.range(star_n).select(
+        F.lit(center).alias("id_a"), (F.col("id") + center + 1).alias("id_b")
+    )
+    pairs = chain.union(star)
+    stats: dict = {}
+    comp = connected_components(pairs, max_iter=40, stats=stats)
+    agg = comp.groupBy("component").count().collect()
+    sizes = {r.component: r["count"] for r in agg}
+    assert sizes == {0: chain_n, center: star_n + 1}
+    bound = 2 * math.ceil(math.log2(chain_n)) + 4
+    assert stats["rounds"] <= bound, f"{stats['rounds']} rounds > bound {bound}"
+
+
 def test_cosine_topk_matches_numpy(spark, embs):
     rows = embs.collect()
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
