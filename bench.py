@@ -84,7 +84,11 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", "").lstrip("._bench") or "0.1")
+    except ValueError:
+        sf = base  # non-standard dir name: report the label verbatim
     print(
         json.dumps(
             {
@@ -92,7 +96,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
                 "cpus": int(cpus),
             }
         )
