@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--genome-size", type=str, help="e.g. 4.2mb (metric suffix)")
     ap.add_argument("--num", type=int)
     ap.add_argument("--frac", type=float)
+    ap.add_argument(
+        "--probability", type=float, default=None,
+        help="shorthand for --frac P with one-pass sampling (reads.rs -p)",
+    )
+    ap.add_argument("--strict", action="store_true")
     ap.add_argument("--seed", type=int, required=True)
     ap.add_argument("--strategy", default="threshold")
     ap.add_argument("--rollup", action="store_true", help="also maintain 1h/1d tiers")
@@ -56,6 +61,29 @@ def main() -> None:
 
     # imports resolve from --py-files on executors
     from rasusa_spark import sampler
+    from rasusa_spark.args import JobArgs, validate_job_args
+
+    # reject contradictory combinations BEFORE any Spark work is scheduled
+    # (the reference CLI's clap conflict matrix, reads.rs:27-243)
+    normalized = validate_job_args(
+        JobArgs(
+            inputs=(args.input,),
+            outputs=(args.output,),
+            coverage=args.coverage,
+            genome_size=(
+                sampler.parse_metric_size(args.genome_size)
+                if args.genome_size else None
+            ),
+            bases=args.bases,
+            num=args.num,
+            frac=args.frac,
+            probability=args.probability,
+            one_pass=(args.mode == "one_pass"),
+            strict=args.strict,
+        )
+    )
+    if normalized.one_pass:
+        args.mode, args.frac = "one_pass", normalized.frac
     from rasusa_spark.codecs.blobs import compress_metric_streams
     from rasusa_spark.operators.rollup import rollup_all_tiers
     from rasusa_spark.plans.checkpoint import DownsampleJob, read_retained, run_downsample_job
