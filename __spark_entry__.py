@@ -137,6 +137,84 @@ def q_gapfill_1h(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """ASOF ≤ join (kdb aj / pandas merge_asof / DuckDB ASOF JOIN): every
+    event picks up the latest DENSE hourly rollup point (row_count ≥ 5) of
+    its event_type at or before its timestamp. Union-and-carry plan: one
+    shuffle on the group key, in-partition sort, last(ignorenulls) carry —
+    no range-join blowup (operators/timeseries.py). Sparse buckets give
+    genuine gaps, so leading events have NULL matches — exercising the
+    outer semantics the DuckDB ASOF LEFT JOIN oracle defines."""
+    from rasusa_spark.operators.timeseries import asof_join
+
+    ev = _events_cents(spark, sf_dir)
+    h1 = rollup(ev, "1h", group_cols=("event_type",)).where(
+        F.col("row_count") >= 5
+    )
+    out = asof_join(
+        ev.select("event_id", "event_type", "ts"),
+        h1,
+        on="ts",
+        by=("event_type",),
+        right_ts="bucket_start",
+        value_cols=("n_tok_sum",),
+    )
+    return out.select("event_id", "event_type", "asof_ts", "n_tok_sum")
+
+
+def q_gapfill_locf_1h(spark, sf_dir):
+    """TimescaleDB locf(): gap buckets carry the last observed n_tok_sum
+    forward (window over the already-aggregated table; leading gaps stay
+    null)."""
+    from rasusa_spark.operators.timeseries import gap_fill_locf
+
+    ev = _events_cents(spark, sf_dir).where(F.col("event_type") == "click")
+    h1 = gap_fill(rollup(ev, "1h", group_cols=("event_type",)), "1h",
+                  group_cols=("event_type",))
+    out = gap_fill_locf(h1, group_cols=("event_type",), value_col="n_tok_sum")
+    return out.select(
+        "event_type", "bucket_start", "gap_filled", "n_tok_sum_filled"
+    )
+
+
+def q_rollup_quantiles_1h(spark, sf_dir):
+    """Exact per-bucket quantiles (Spark `percentile` interpolated type-7 ==
+    DuckDB `quantile_cont`) — the percentile rollup a latency/size metric
+    tier serves."""
+    from rasusa_spark.operators.timeseries import rollup_quantiles
+
+    ev = _events_cents(spark, sf_dir)
+    return rollup_quantiles(
+        ev, "1h", group_cols=("event_type",), probs=(0.5, 0.9, 0.99)
+    )
+
+
+def q_hist_rerolled_1d(spark, sf_dir):
+    """Mergeable quantile sketch cascade: per-bucket log2 histograms built
+    at 1h, re-rolled to 1d by elementwise bin sums (exactly associative),
+    emitted long-form (bin, cnt). The oracle bins the RAW events straight
+    to 1d — equality proves the sketch tier cascade is bit-for-bit, the
+    quantile analog of rollup_rerolled_1d (functions/histsketch.py).
+    Binning is integer-exact (binary-string length), never float log."""
+    from rasusa_spark.functions.histsketch import (
+        histogram_rollup,
+        histogram_rollup_from_finer,
+    )
+
+    ev = _events_cents(spark, sf_dir)
+    h1 = histogram_rollup(ev, "1h", group_cols=("event_type",))
+    d1 = histogram_rollup_from_finer(h1, "1d", group_cols=("event_type",))
+    return (
+        d1.select(
+            "event_type",
+            "bucket_start",
+            F.posexplode("hist").alias("bin", "cnt"),
+        )
+        .where(F.col("cnt") > 0)
+        .select("event_type", "bucket_start", "bin", "cnt")
+    )
+
+
 def q_downsample_budget(spark, sf_dir):
     li = _li_keyed(spark, sf_dir)
     kept = downsample(
@@ -667,6 +745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d": q_rollup_1d,
         "rollup_rerolled_1d": q_rollup_rerolled_1d,
         "gapfill_1h": q_gapfill_1h,
+        "asof_join": q_asof_join,
+        "gapfill_locf_1h": q_gapfill_locf_1h,
+        "rollup_quantiles_1h": q_rollup_quantiles_1h,
+        "hist_rerolled_1d": q_hist_rerolled_1d,
         "downsample_budget": q_downsample_budget,
         "downsample_budget_threshold": q_downsample_budget_threshold,
         "downsample_topk": q_downsample_topk,
@@ -814,6 +896,52 @@ SELECT s.event_type, s.bucket_start,
        a.n_tok_min, a.n_tok_max,
        a.row_count IS NULL       AS gap_filled
 FROM s LEFT JOIN a USING (bucket_start)
+""",
+        "asof_join": f"""
+WITH ev AS ({_EV_CENTS}),
+r AS (SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+             CAST(sum(n_tok) AS BIGINT) AS n_tok_sum, count(*) AS rc
+      FROM ev GROUP BY 1, 2),
+dense AS (SELECT event_type, bucket_start, n_tok_sum FROM r WHERE rc >= 5)
+SELECT e.event_id, e.event_type, d.bucket_start AS asof_ts, d.n_tok_sum
+FROM ev e ASOF LEFT JOIN dense d
+  ON e.event_type = d.event_type AND e.ts >= d.bucket_start
+""",
+        "gapfill_locf_1h": f"""
+WITH ev AS (SELECT * FROM ({_EV_CENTS}) WHERE event_type = 'click'),
+b AS (SELECT date_trunc('hour', min(ts)) lo, date_trunc('hour', max(ts)) hi FROM ev),
+s AS (SELECT 'click' AS event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start FROM b),
+a AS (SELECT date_trunc('hour', ts) AS bucket_start,
+             CAST(sum(n_tok) AS BIGINT) AS n_tok_sum
+      FROM ev GROUP BY 1),
+g AS (SELECT s.event_type, s.bucket_start,
+             a.n_tok_sum, a.n_tok_sum IS NULL AS gap_filled
+      FROM s LEFT JOIN a USING (bucket_start))
+SELECT event_type, bucket_start, gap_filled,
+       last_value(n_tok_sum IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS n_tok_sum_filled
+FROM g
+""",
+        "rollup_quantiles_1h": f"""
+WITH ev AS ({_EV_CENTS})
+SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+       round(quantile_cont(n_tok, 0.5), 6)  AS p50,
+       round(quantile_cont(n_tok, 0.9), 6)  AS p90,
+       round(quantile_cont(n_tok, 0.99), 6) AS p99,
+       count(*) AS row_count
+FROM ev GROUP BY 1, 2
+""",
+        "hist_rerolled_1d": f"""
+WITH ev AS ({_EV_CENTS}),
+binned AS (SELECT event_type, date_trunc('day', ts) AS bucket_start,
+                  CASE WHEN n_tok <= 0 THEN 0
+                       ELSE length(printf('%b', n_tok)) END AS bin
+           FROM ev)
+SELECT event_type, bucket_start, CAST(bin AS INT) AS bin, count(*) AS cnt
+FROM binned GROUP BY 1, 2, 3
 """,
         "downsample_budget": budget_sql,
         "downsample_budget_threshold": budget_sql,

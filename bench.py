@@ -27,6 +27,8 @@ HEADLINE = [
     "rollup_1h",
     "rollup_rerolled_1d",
     "gapfill_1h",
+    "asof_join",
+    "rollup_quantiles_1h",
     "downsample_budget_threshold",
     "downsample_topk",
     "downsample_frac",

@@ -1,0 +1,144 @@
+"""Mergeable quantile sketch for the tier cascade: per-bucket LOG2
+HISTOGRAMS of the metric column.
+
+Exact per-bucket quantiles (operators/timeseries.rollup_quantiles) are not
+associative — a 1d quantile cannot be derived from 1h quantiles. The tier
+story (raw → 1h → 1d re-rollup bit-for-bit, SURVEY §2.5) therefore needs a
+MERGEABLE summary: histograms merge by elementwise integer bin addition,
+which is exactly associative, so re-rolling 1h sketches into 1d equals the
+direct raw→1d sketch bit-for-bit — the same guarantee the sum/count/min/max
+tiers give (operators/rollup.py), extended to distributions.
+
+Design: 64 bins, bin(v) = floor(log2(v)) + 1 for v ≥ 1, bin 0 for v ≤ 0.
+For positive int32 metrics (n_tok) the relative error of an interpolated
+quantile estimate is bounded by the bin's width/position ratio (≤ 2× worst
+case, far tighter with in-bin linear interpolation — the error-bound test
+pins ≤ 35 % relative, observed ~5 %). This is the fixed-bin special case
+of the log-histogram family (HDR histogram / Prometheus classic buckets —
+public designs); everything is plain conditional-count aggregates, fully
+whole-stage-codegen, and SQL-expressible, so the sketch build has a full
+DuckDB oracle (exact bin-count equality), unlike approximate digests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BINS = 32  # int32 metrics: floor(log2(v))+1 <= 31 for v < 2^31
+
+
+def _bin_expr(value_col: str):
+    """bin(v) = bit length of v (= floor(log2 v)+1) for v ≥ 1, else 0 —
+    computed as the BINARY-STRING length, never a float log: floor(log2)
+    of exact powers of two is a notorious cross-engine float edge
+    (ln-ratio rounding), and the DuckDB oracle must bin identically."""
+    v = F.col(value_col)
+    return (
+        F.when(v <= 0, F.lit(0))
+        .otherwise(F.length(F.conv(v.cast("string"), 10, 2)).cast("int"))
+    )
+
+
+def histogram_rollup(
+    df: DataFrame,
+    tier: str,
+    *,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Per-(group, bucket) log2 histogram: ``hist`` = array<long>[N_BINS].
+    One conditional-count aggregate per bin in ONE groupBy — identical
+    map-side-combinable shape to the minhash OPH bins and the rollup
+    sums."""
+    from ..operators.rollup import bucket_expr
+
+    binned = df.select(
+        *group_cols,
+        bucket_expr(tier, ts_col).alias("bucket_start"),
+        _bin_expr(value_col).alias("_bin"),
+    )
+    agg = binned.groupBy(*group_cols, "bucket_start").agg(
+        *[
+            F.count(F.when(F.col("_bin") == i, F.lit(1))).alias(f"_h{i}")
+            for i in range(N_BINS)
+        ]
+    )
+    return agg.select(
+        *group_cols,
+        "bucket_start",
+        F.array(*[F.col(f"_h{i}") for i in range(N_BINS)]).alias("hist"),
+    )
+
+
+def histogram_rollup_from_finer(
+    finer: DataFrame,
+    tier: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+) -> DataFrame:
+    """Re-roll a finer histogram tier into a coarser one: elementwise
+    integer bin sums (``zip_with`` inside an aggregate via per-bin sums) —
+    exactly associative, so this is bit-equal to the direct raw→coarse
+    sketch (the quantile analog of rollup_from_finer's integer
+    accumulators)."""
+    from ..operators.rollup import TIERS
+
+    exploded = finer.select(
+        *group_cols,
+        F.date_trunc(TIERS[tier], F.col("bucket_start")).alias("bucket_start"),
+        *[F.col("hist")[i].alias(f"_h{i}") for i in range(N_BINS)],
+    )
+    agg = exploded.groupBy(*group_cols, "bucket_start").agg(
+        *[F.sum(f"_h{i}").alias(f"_h{i}") for i in range(N_BINS)]
+    )
+    return agg.select(
+        *group_cols,
+        "bucket_start",
+        F.array(*[F.col(f"_h{i}") for i in range(N_BINS)]).alias("hist"),
+    )
+
+
+def histogram_quantile(
+    sketches: DataFrame, probs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Estimate quantiles from a ``hist`` column (JVM-side expression —
+    cumulative bin walk + linear interpolation inside the target bin,
+    Prometheus ``histogram_quantile`` semantics). Adds ``q{p}_est`` double
+    columns. Bin b covers (2^(b-1), 2^b]; bin 0 is ≤ 0 (estimated as 0)."""
+    total = F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x)
+
+    def est(p: float):
+        target = F.lit(p) * total.cast("double")
+        # running cumulative sums per bin boundary
+        cum = F.transform(
+            F.sequence(F.lit(0), F.lit(N_BINS - 1)),
+            lambda i: F.aggregate(
+                F.slice("hist", F.lit(1), i + 1),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        )
+        # first bin whose cumulative count reaches the target
+        b = F.array_position(
+            F.transform(cum, lambda c: c.cast("double") >= target), F.lit(True)
+        ) - 1  # 0-based bin index
+        prev_cum = F.when(b > 0, F.element_at(cum, b.cast("int"))).otherwise(
+            F.lit(0).cast("long")
+        )
+        in_bin = F.element_at(F.col("hist"), (b + 1).cast("int"))
+        frac = F.when(
+            in_bin > 0, (target - prev_cum.cast("double")) / in_bin.cast("double")
+        ).otherwise(F.lit(0.0))
+        lo = F.when(b <= 0, F.lit(0.0)).otherwise(
+            F.pow(F.lit(2.0), b.cast("double") - 1)
+        )
+        hi = F.when(b <= 0, F.lit(0.0)).otherwise(F.pow(F.lit(2.0), b.cast("double")))
+        return F.when(total > 0, F.round(lo + frac * (hi - lo), 6))
+
+    out = sketches
+    for p in probs:
+        name = f"q{f'{p * 100:g}'.replace('.', '_')}_est"
+        out = out.withColumn(name, est(p))
+    return out

@@ -55,6 +55,18 @@ def main() -> None:
     sections.append(("1h continuous aggregate", grab(r1h)))
     sections.append(("gap-filled 1h", grab(gap_fill(r1h, "1h"))))
 
+    from rasusa_spark.operators.timeseries import asof_join
+
+    aj = asof_join(
+        sel, r1h, on="ts", by=("source",), right_ts="bucket_start",
+        value_cols=("n_tok_sum",),
+    )
+    sections.append(
+        ("as-of join (union-and-carry: ONE exchange on the group key + "
+         "in-partition sort + last(ignorenulls) carry — no range-join "
+         "blowup possible)", grab(aj))
+    )
+
     pruned = df.where((F.col("source") == "wiki")).select("doc_id", "n_tok")
     sections.append(("partition-pruned narrow scan", grab(pruned)))
 
