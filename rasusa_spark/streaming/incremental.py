@@ -54,24 +54,23 @@ def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
-def merge_rollup_increment(
+def _merge_increment(
     spark: SparkSession,
-    new_rows: DataFrame,
+    inc: DataFrame,
     state_path: str,
-    tier: str = "1h",
-    group_cols: tuple[str, ...] | list[str] = ("source",),
-    allow_late: bool = False,
+    store_name: str,
+    group_cols: list[str],
+    remerge,
+    allow_late: bool,
 ) -> DataFrame:
-    """Fold ``new_rows`` into the stored tier at ``state_path``; returns the
-    updated tier. Watermark = max bucket per group already merged (kept in a
-    compact side table, not re-derived from the store); late rows (bucket <
-    watermark) raise unless ``allow_late``. Only the bucket-day partitions
-    the increment touches are read and rewritten."""
-    group_cols = list(group_cols)
-    inc = rollup(new_rows, tier, group_cols=group_cols).persist()
-
-    store = os.path.join(state_path, f"rollup_{tier}")
-    wm_path = os.path.join(state_path, f"rollup_{tier}_wm")
+    """Shared O(delta) merge machinery: watermark guard, partition-pruned
+    read of only the touched bucket days, ``remerge(union)`` to re-aggregate
+    (must be exactly associative), dynamic partition overwrite, compact
+    per-group watermark advance. ``inc`` must be the increment already
+    aggregated to (group_cols, bucket_start) granularity."""
+    inc = inc.persist()
+    store = os.path.join(state_path, store_name)
+    wm_path = os.path.join(state_path, f"{store_name}_wm")
     wm = _read_parquet_or_none(spark, wm_path)
 
     if wm is not None and not allow_late:
@@ -92,18 +91,8 @@ def merge_rollup_increment(
         # partition-pruned read of ONLY the touched days (bounded driver
         # list: one entry per distinct increment day)
         touched = [r[0] for r in inc.select(part_expr).distinct().collect()]
-        merged = (
-            existing.where(F.col(_PART).isin(touched))
-            .drop(_PART)
-            .unionByName(inc)
-            .groupBy(*group_cols, "bucket_start")
-            .agg(
-                F.sum("n_tok_sum").alias("n_tok_sum"),
-                F.sum("row_count").alias("row_count"),
-                F.min("n_tok_min").alias("n_tok_min"),
-                F.max("n_tok_max").alias("n_tok_max"),
-            )
-            .withColumn("gap_filled", F.lit(False))
+        merged = remerge(
+            existing.where(F.col(_PART).isin(touched)).drop(_PART).unionByName(inc)
         )
         # the write below overwrites partitions the plan also reads — cut
         # the lineage first (bounded: merged holds only touched partitions)
@@ -132,6 +121,77 @@ def merge_rollup_increment(
         "overwrite"
     ).parquet(wm_path)
     return spark.read.parquet(store).drop(_PART)
+
+
+def merge_rollup_increment(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    state_path: str,
+    tier: str = "1h",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    allow_late: bool = False,
+) -> DataFrame:
+    """Fold ``new_rows`` into the stored tier at ``state_path``; returns the
+    updated tier. Watermark = max bucket per group already merged (kept in a
+    compact side table, not re-derived from the store); late rows (bucket <
+    watermark) raise unless ``allow_late``. Only the bucket-day partitions
+    the increment touches are read and rewritten."""
+    group_cols = list(group_cols)
+    inc = rollup(new_rows, tier, group_cols=group_cols)
+
+    def remerge(union: DataFrame) -> DataFrame:
+        return (
+            union.groupBy(*group_cols, "bucket_start")
+            .agg(
+                F.sum("n_tok_sum").alias("n_tok_sum"),
+                F.sum("row_count").alias("row_count"),
+                F.min("n_tok_min").alias("n_tok_min"),
+                F.max("n_tok_max").alias("n_tok_max"),
+            )
+            .withColumn("gap_filled", F.lit(False))
+        )
+
+    return _merge_increment(
+        spark, inc, state_path, f"rollup_{tier}", group_cols, remerge, allow_late
+    )
+
+
+def merge_histogram_increment(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    state_path: str,
+    tier: str = "1h",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    allow_late: bool = False,
+) -> DataFrame:
+    """O(delta) incremental maintenance of the HISTOGRAM sketch tier
+    (functions/histsketch.py): same watermark/partition-pruning machinery
+    as the sum tier, with elementwise bin addition as the (exactly
+    associative) merge — batch ≡ incremental bit-for-bit, proven in
+    tests/test_streaming.py."""
+    from ..functions.histsketch import N_BINS, histogram_rollup
+
+    group_cols = list(group_cols)
+    inc = histogram_rollup(new_rows, tier, group_cols=group_cols)
+
+    def remerge(union: DataFrame) -> DataFrame:
+        exploded = union.select(
+            *group_cols,
+            "bucket_start",
+            *[F.col("hist")[i].alias(f"_h{i}") for i in range(N_BINS)],
+        )
+        agg = exploded.groupBy(*group_cols, "bucket_start").agg(
+            *[F.sum(f"_h{i}").alias(f"_h{i}") for i in range(N_BINS)]
+        )
+        return agg.select(
+            *group_cols,
+            "bucket_start",
+            F.array(*[F.col(f"_h{i}") for i in range(N_BINS)]).alias("hist"),
+        )
+
+    return _merge_increment(
+        spark, inc, state_path, f"hist_{tier}", group_cols, remerge, allow_late
+    )
 
 
 def streaming_rollup(

@@ -221,3 +221,33 @@ def test_budget_kernel_vectorized_semantics_and_speed():
     dt = time.perf_counter() - t0
     assert sum(len(o) for o in out) == len(big)
     assert dt < 1.0, f"1M-row decide took {dt:.2f}s — kernel is not vectorized"
+
+
+def test_incremental_histogram_merge_equals_batch(spark, raw4k, tmp_path):
+    """The sketch tier gets the same O(delta) maintenance as the sum tier:
+    folding two increments of log2-histogram sketches must equal the
+    one-shot batch sketch bit-for-bit (elementwise bin addition is exactly
+    associative), and late buckets hit the same watermark guard."""
+    import pytest as _pytest
+
+    from rasusa_spark.functions.histsketch import histogram_rollup
+    from rasusa_spark.streaming.incremental import merge_histogram_increment
+
+    state = str(tmp_path / "hstate")
+    first = raw4k.where(F.col("row_idx") < 2000)
+    second = raw4k.where(F.col("row_idx") >= 2000)
+    merge_histogram_increment(spark, first, state, tier="1h")
+    merged = merge_histogram_increment(
+        spark, second, state, tier="1h", allow_late=True
+    )
+    batch = histogram_rollup(raw4k, "1h")
+    got = sorted(
+        (r.source, r.bucket_start, tuple(r.hist)) for r in merged.collect()
+    )
+    want = sorted(
+        (r.source, r.bucket_start, tuple(r.hist)) for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
+    # late buckets (behind the per-group watermark) are rejected by default
+    with _pytest.raises(ValueError, match="late"):
+        merge_histogram_increment(spark, first, state, tier="1h")
