@@ -696,8 +696,13 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
+    """Multi-table multi-probe LSH ANN (rows-only: approximate by design;
+    the recall pytest pins the table-count lever — 2/10 single-table →
+    8/10 at L=4 h=2 on these near-isotropic fixtures)."""
     embs = _load(spark, sf_dir, "embeddings")
-    return lsh_bucket_topk(embs, [1.0] * 64, k=10, n_bits=6)
+    return lsh_bucket_topk(
+        embs, [1.0] * 64, k=10, n_bits=6, probe_hamming=2, n_tables=4
+    )
 
 
 def q_cosine_topk(spark, sf_dir):
