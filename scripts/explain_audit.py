@@ -67,6 +67,21 @@ def main() -> None:
          "blowup possible)", grab(aj))
     )
 
+    from rasusa_spark.functions.histsketch import (
+        histogram_rollup,
+        histogram_rollup_from_finer,
+    )
+
+    hist_d1 = histogram_rollup_from_finer(
+        histogram_rollup(sel, "1h"), "1d"
+    )
+    sections.append(
+        ("histogram sketch tier cascade (32 conditional-count partial+final "
+         "HashAggregates, then elementwise bin re-sum — all codegen, zero "
+         "Python; the mergeable-quantile analog of the sum tiers)",
+         grab(hist_d1))
+    )
+
     pruned = df.where((F.col("source") == "wiki")).select("doc_id", "n_tok")
     sections.append(("partition-pruned narrow scan", grab(pruned)))
 
