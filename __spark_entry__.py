@@ -189,6 +189,23 @@ def q_rollup_quantiles_1h(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2022 repeated-n-gram pass): maximal
+    duplicated token spans per document from stride-1 window fingerprints —
+    one combinable groupBy finds hot windows, per-doc gaps-and-islands
+    merges them into spans (operators/spans.py). ``portable=True`` keys
+    windows by md5 so the DuckDB oracle reproduces fingerprints exactly."""
+    from rasusa_spark.operators.spans import duplicated_spans
+
+    docs = _load(spark, sf_dir, "documents")
+    out = duplicated_spans(docs, n=8, portable=True)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+    )
+
+
 def q_hist_rerolled_1d(spark, sf_dir):
     """Mergeable quantile sketch cascade: per-bucket log2 histograms built
     at 1h, re-rolled to 1d by elementwise bin sums (exactly associative),
@@ -754,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "rollup_quantiles_1h": q_rollup_quantiles_1h,
         "hist_rerolled_1d": q_hist_rerolled_1d,
+        "dup_spans": q_dup_spans,
         "downsample_budget": q_downsample_budget,
         "downsample_budget_threshold": q_downsample_budget_threshold,
         "downsample_topk": q_downsample_topk,
@@ -938,6 +956,27 @@ SELECT event_type, date_trunc('hour', ts) AS bucket_start,
        round(quantile_cont(n_tok, 0.99), 6) AS p99,
        count(*) AS row_count
 FROM ev GROUP BY 1, 2
+""",
+        "dup_spans": """
+WITH words AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') w
+        FROM documents),
+wins AS (SELECT doc_id, i-1 AS pos, md5(array_to_string(w[i:i+7], chr(31))) AS wh
+         FROM words, LATERAL UNNEST(generate_series(1, len(w)-7)) AS t(i)
+         WHERE len(w) >= 8),
+hot AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+m AS (SELECT doc_id, pos AS s, pos+8 AS e FROM wins JOIN hot USING (wh)),
+lagged AS (SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           FROM m),
+isl AS (SELECT doc_id, s, e,
+        sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM lagged)
+SELECT doc_id, CAST(min(s) AS INT) AS span_start, CAST(max(e) AS INT) AS span_end
+FROM isl GROUP BY doc_id, g
 """,
         "hist_rerolled_1d": f"""
 WITH ev AS ({_EV_CENTS}),

@@ -47,6 +47,7 @@ HEADLINE = [
     "contamination",
     "quality_filter",
     "line_dedup",
+    "dup_spans",
     "pack_sequences",
     "vocab_stats",
 ]

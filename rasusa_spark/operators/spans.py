@@ -1,0 +1,207 @@
+"""Exact substring (token-window) deduplication — the corpus-level
+"repeated 50-gram" pass of Lee et al. 2022 (*Deduplicating Training Data
+Makes Language Models Better*), re-expressed Spark-first. The suffix-array
+formulation is replaced by overlapping fixed-length window fingerprints at
+stride 1, which finds exactly the duplicated substrings of length ≥ n (a
+substring repeat of length L ≥ n contains L−n+1 repeated n-windows, and a
+repeated n-window IS a length-n substring repeat), up to 64-bit fingerprint
+collisions — the same contract as the engine's other hashed dedup paths.
+
+Pipeline (all DataFrame ops, no Python in the hot path):
+
+1. explode every doc into its n-token windows, fingerprinted JVM-side
+   (one xxhash64 over the n word columns — word_shingles_hashed's trick,
+   POSITIONED, not distinct);
+2. one map-side-combinable groupBy(fingerprint) finds windows occurring
+   more than once in the corpus (within- or cross-doc, the paper's
+   definition) — a hot boilerplate window collapses to ONE reduce row;
+3. semi-join flagged fingerprints back to their (doc, position)s and merge
+   overlapping windows into maximal duplicated SPANS per doc (classic
+   gaps-and-islands with window functions — partitioned by doc, never a
+   corpus-wide sort);
+4. (removal) the canonical occurrence — global min (doc_id, start) per
+   fingerprint — is KEPT; positions covered only by non-canonical
+   occurrences are struck, and surviving tokens rebuild the text in
+   original order.
+
+Scale shape: the window table is |tokens| rows of (8 B hash, id, pos) —
+large but shuffle-bounded and combinable; there is no quadratic join
+anywhere (occurrence lists only materialize for fingerprints with >1 hit,
+and even those go through count/min aggregates, not pairs).
+
+Reference: rasusa has no substring dedup; this extends the dedup stack
+(SURVEY §2.12 additions) like dedup.py's other modalities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _windows(
+    df: DataFrame, n: int, text_col: str, id_col: str, portable: bool
+) -> DataFrame:
+    """(id, pos, _wh): every length-n word window at stride 1, with a
+    64-bit fingerprint (xxhash64 over the n words) or — ``portable`` — the
+    md5 hex of the 0x1f-joined window, reproducible in any SQL engine for
+    the driver oracle."""
+    words_expr = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    with_words = df.select(F.col(id_col), words_expr.alias("_w")).where(
+        F.size("_w") >= n
+    )
+    w = F.col("_w")
+    if portable:
+        fp = lambda i: F.md5(  # noqa: E731
+            F.concat_ws("\x1f", *[F.element_at(w, i + j + 1) for j in range(n)])
+        )
+    else:
+        fp = lambda i: F.xxhash64(  # noqa: E731
+            *[F.element_at(w, i + j + 1) for j in range(n)]
+        )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.struct(i.alias("pos"), fp(i).alias("_wh")),
+    )
+    return with_words.select(
+        F.col(id_col), F.explode(wins).alias("s")
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s._wh").alias("_wh"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated substring spans per document:
+    ``(id, span_start, span_end)`` — token positions [start, end) covered
+    by some n-window occurring ≥ ``min_count`` times in the corpus.
+    Overlapping/adjacent duplicated windows merge into one maximal span
+    (gaps-and-islands per doc)."""
+    wins = _windows(df, n, text_col, id_col, portable)
+    hot = (
+        wins.groupBy("_wh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_wh")
+    )
+    marked = wins.join(hot, on="_wh", how="left_semi").select(
+        id_col, F.col("pos").alias("_s"), (F.col("pos") + n).alias("_e")
+    )
+    wd = Window.partitionBy(id_col).orderBy("_s")
+    prev_max_e = F.max("_e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    island = F.sum(
+        F.when(prev_max_e.isNull() | (F.col("_s") > prev_max_e), 1).otherwise(0)
+    ).over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        marked.withColumn("_isl", island)
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("_s").alias("span_start"),
+            F.max("_e").alias("span_end"),
+        )
+        .drop("_isl")
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Per-doc duplication profile: number of maximal duplicated spans and
+    total duplicated token positions — the corpus-quality metric the Lee
+    et al. pass reports before removal. Docs with no duplicated window are
+    absent (join back for zeros if needed)."""
+    spans = duplicated_spans(df, n, text_col, id_col, portable)
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Strike duplicated substrings, KEEPING the canonical (globally first
+    by (doc, position)) occurrence of each repeated window — Lee et al.'s
+    remove-all-but-one policy. A token position survives unless some
+    duplicated window covers it at a NON-canonical occurrence. Returns
+    (id, text) with surviving tokens rejoined in original order (docs
+    shorter than n tokens pass through untouched).
+
+    The canonical pick is one min-struct aggregate per hot fingerprint
+    (map-side combinable — no occurrence-pair join), and span merging is
+    per-doc windows, so the shape matches duplicated_spans."""
+    words_expr = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    docs = df.select(F.col(id_col), words_expr.alias("_w"))
+    wins = _windows(df, n, text_col, id_col, portable=False)
+    occ = (
+        wins.groupBy("_wh")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+                "_first"
+            ),
+        )
+        .where(F.col("_c") >= 2)
+        .select("_wh", "_first")
+    )
+    # non-canonical occurrences of hot windows -> spans to strike
+    strike = (
+        wins.join(occ, on="_wh")
+        .where(
+            (F.col(id_col) != F.col("_first.i"))
+            | (F.col("pos") != F.col("_first.p"))
+        )
+        .select(id_col, F.col("pos").alias("_s"), (F.col("pos") + n).alias("_e"))
+    )
+    wd = Window.partitionBy(id_col).orderBy("_s")
+    prev_max_e = F.max("_e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    island = F.sum(
+        F.when(prev_max_e.isNull() | (F.col("_s") > prev_max_e), 1).otherwise(0)
+    ).over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans = (
+        strike.withColumn("_isl", island)
+        .groupBy(id_col, "_isl")
+        .agg(F.min("_s").alias("s"), F.max("_e").alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("_cut"))
+    )
+    cut = F.array_sort(F.col("_cut"))
+    kept_words = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_w") - 1),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.exists(
+                    cut, lambda sp: (i >= sp["s"]) & (i < sp["e"])
+                ).alias("drop"),
+            ),
+        ),
+        lambda st: ~st["drop"],
+    )
+    joined = docs.join(spans, on=id_col, how="left")
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("_cut").isNull(), F.array_join("_w", " "))
+        .otherwise(
+            F.array_join(
+                F.transform(kept_words, lambda st: F.element_at(F.col("_w"), st["i"] + 1)),
+                " ",
+            )
+        )
+        .alias(text_col),
+    )
