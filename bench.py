@@ -69,7 +69,7 @@ def main() -> None:
     # stable estimator of the plan's actual cost than one shot. Caches
     # registered by the threshold/dedup paths are cleared between repeats
     # so every repeat pays the full plan, never a cached subtree.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = None
