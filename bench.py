@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -88,10 +89,10 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     base = os.path.basename(sf_dir.rstrip("/"))
-    try:
-        sf = float(base.replace("sf", "").lstrip("._bench") or "0.1")
-    except ValueError:
-        sf = base  # non-standard dir name: report the label verbatim
+    # ADVICE r3: lstrip('._bench') strips a CHARACTER SET, not a prefix —
+    # 'sf_nb2' would mislabel. Extract the sf float with a real pattern.
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", base)
+    sf = float(m.group(1)) if m else base  # fallback: the label verbatim
     print(
         json.dumps(
             {

@@ -9,7 +9,9 @@ which is exactly associative, so re-rolling 1h sketches into 1d equals the
 direct raw→1d sketch bit-for-bit — the same guarantee the sum/count/min/max
 tiers give (operators/rollup.py), extended to distributions.
 
-Design: 64 bins, bin(v) = floor(log2(v)) + 1 for v ≥ 1, bin 0 for v ≤ 0.
+Design: 32 bins (``N_BINS`` — enough for any positive int32, since
+floor(log2 v)+1 ≤ 31 for v < 2^31; values beyond that clamp into the top
+overflow bucket), bin(v) = floor(log2(v)) + 1 for v ≥ 1, bin 0 for v ≤ 0.
 For positive int32 metrics (n_tok) the relative error of an interpolated
 quantile estimate is bounded by the bin's width/position ratio (≤ 2× worst
 case, far tighter with in-bin linear interpolation — the error-bound test
@@ -32,11 +34,22 @@ def _bin_expr(value_col: str):
     """bin(v) = bit length of v (= floor(log2 v)+1) for v ≥ 1, else 0 —
     computed as the BINARY-STRING length, never a float log: floor(log2)
     of exact powers of two is a notorious cross-engine float edge
-    (ln-ratio rounding), and the DuckDB oracle must bin identically."""
+    (ln-ratio rounding), and the DuckDB oracle must bin identically.
+
+    Values ≥ 2^31 on a LONG metric column clamp into the top bucket
+    (``N_BINS - 1``) instead of silently falling outside every
+    conditional count (ADVICE r3: dropped rows bias the quantiles —
+    an overflow bucket keeps hist-total == row-count for any input).
+    For int32 metrics the clamp is a no-op (bit length ≤ 31)."""
     v = F.col(value_col)
     return (
         F.when(v <= 0, F.lit(0))
-        .otherwise(F.length(F.conv(v.cast("string"), 10, 2)).cast("int"))
+        .otherwise(
+            F.least(
+                F.length(F.conv(v.cast("string"), 10, 2)).cast("int"),
+                F.lit(N_BINS - 1),
+            )
+        )
     )
 
 

@@ -38,20 +38,45 @@ def asof_join(
     right_ts: str | None = None,
     value_cols: tuple[str, ...] | list[str] = ("n_tok_sum",),
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the LATEST right row with
-    ``right.ts <= left.ts`` within the same ``by`` group (ASOF ≤ join —
-    DuckDB's ``ASOF JOIN``, kdb's ``aj``, pandas ``merge_asof``).
+    """For every left row, attach the matching right row within the same
+    ``by`` group (DuckDB's ``ASOF JOIN``, kdb's ``aj``, pandas
+    ``merge_asof`` — including its ``direction`` parameter):
+
+    - ``'backward'`` (default): LATEST right row with ``right.ts <= left.ts``
+    - ``'forward'``: EARLIEST right row with ``right.ts >= left.ts``
+    - ``'nearest'``: whichever of the two is closer in time (tie → the
+      backward match, i.e. the earlier right row)
 
     Returns all left columns plus each of ``value_cols`` and ``asof_ts``
-    (the matched right timestamp; null when no right row precedes the left
-    row, or when it is older than ``tolerance`` — an INTERVAL string like
-    ``'2 hours'``).
+    (the matched right timestamp; null when no right row qualifies, or
+    when it is further than ``tolerance`` — an INTERVAL string like
+    ``'2 hours'`` — from the left timestamp).
 
-    A right row AT the left timestamp matches (≤, not <): at equal ts the
-    right row sorts before the left row in the carry order.
+    A right row AT the left timestamp matches in every direction: at equal
+    ts the right row sorts before the left row in the carry order.
+
+    Both directions are the same union-and-carry plan — ONE shuffle on the
+    group key; ``'nearest'`` adds a second in-partition sort (descending
+    carry) over the same exchange, never a second shuffle.
     """
     by = list(by)
+    direction_opts = ("backward", "forward", "nearest")
+    if direction not in direction_opts:
+        raise ValueError(
+            f"unknown direction {direction!r}; use one of {direction_opts}"
+        )
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        # ADVICE r3: a value_col that also exists on the left would be
+        # carried from the LEFT row itself (the union keeps the left value
+        # and last(ignorenulls) returns it as the "matched right value")
+        # and the final select would emit a duplicate column name.
+        raise ValueError(
+            f"value_cols {sorted(overlap)} collide with left columns; "
+            "rename the right-side value columns before the asof join"
+        )
     rts = right_ts or on
     l_tag = left.withColumn("_r", F.lit(1))
     r_tag = right.select(
@@ -81,37 +106,84 @@ def asof_join(
         )
     )
 
-    w = (
+    # backward carry: ascending ts, right rows (_r=0) before left at ties;
+    # forward carry: DESCENDING ts, right rows still first at ties — the
+    # exact mirror, sharing the one exchange on the group key.
+    w_back = (
         Window.partitionBy(*by)
         .orderBy(F.col(on).asc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        *left_cols,
-        "_r",
-        F.last("_asof_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in value_cols
-        ],
-    ).where(F.col("_r") == 1)
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).desc(), F.col("_r").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
 
-    if tolerance is not None:
-        in_window = F.col("asof_ts") >= F.col(on) - F.expr(
-            f"interval {tolerance}"
+    def carry(w, suffix: str):
+        return [
+            F.last("_asof_ts", ignorenulls=True).over(w).alias(f"asof_ts{suffix}")
+        ] + [
+            F.last(c, ignorenulls=True).over(w).alias(f"_c{suffix}_{c}")
+            for c in value_cols
+        ]
+
+    def gate(ts_col, suffix: str, cond):
+        """Null out a side's match outside the tolerance window."""
+        return [F.when(cond, ts_col).alias(f"asof_ts{suffix}")] + [
+            F.when(cond, F.col(f"_c{suffix}_{c}")).alias(f"_c{suffix}_{c}")
+            for c in value_cols
+        ]
+
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        carried = u.select(*left_cols, "_r", *carry(w, "")).where(
+            F.col("_r") == 1
         )
+        if tolerance is not None:
+            delta = F.expr(f"interval {tolerance}")
+            in_window = (
+                F.col("asof_ts") >= F.col(on) - delta
+                if direction == "backward"
+                else F.col("asof_ts") <= F.col(on) + delta
+            )
+            carried = carried.select(
+                *left_cols, *gate(F.col("asof_ts"), "", in_window)
+            )
+        return carried.select(
+            *left_cols,
+            "asof_ts",
+            *[F.col(f"_c_{c}").alias(c) for c in value_cols],
+        )
+
+    # nearest: both carries over the same exchange, then pick the closer
+    # side per row (tie → backward, the earlier right row).
+    carried = u.select(
+        *left_cols, "_r", *carry(w_back, "_b"), *carry(w_fwd, "_f")
+    ).where(F.col("_r") == 1)
+    if tolerance is not None:
+        delta = F.expr(f"interval {tolerance}")
         carried = carried.select(
             *left_cols,
-            F.when(in_window, F.col("asof_ts")).alias("asof_ts"),
-            *[
-                F.when(in_window, F.col(f"_c_{c}")).alias(f"_c_{c}")
-                for c in value_cols
-            ],
+            *gate(F.col("asof_ts_b"), "_b", F.col("asof_ts_b") >= F.col(on) - delta),
+            *gate(F.col("asof_ts_f"), "_f", F.col("asof_ts_f") <= F.col(on) + delta),
         )
+    back_dist = F.unix_timestamp(F.col(on)) - F.unix_timestamp("asof_ts_b")
+    fwd_dist = F.unix_timestamp("asof_ts_f") - F.unix_timestamp(F.col(on))
+    use_back = F.col("asof_ts_f").isNull() | (
+        F.col("asof_ts_b").isNotNull() & (back_dist <= fwd_dist)
+    )
     return carried.select(
         *left_cols,
-        "asof_ts",
-        *[F.col(f"_c_{c}").alias(c) for c in value_cols],
+        F.when(use_back, F.col("asof_ts_b"))
+        .otherwise(F.col("asof_ts_f"))
+        .alias("asof_ts"),
+        *[
+            F.when(use_back, F.col(f"_c_b_{c}"))
+            .otherwise(F.col(f"_c_f_{c}"))
+            .alias(c)
+            for c in value_cols
+        ],
     )
 
 

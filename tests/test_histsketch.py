@@ -125,3 +125,17 @@ def test_n_bins_covers_int32(spark):
     )
     hist = histogram_rollup(df, "1d").collect()[0].hist
     assert len(hist) == N_BINS and hist[31] == 1
+
+
+def test_overflow_clamps_to_top_bucket(spark):
+    # ADVICE r3: values >= 2^31 on a LONG metric column used to match no
+    # conditional count (silent row drop, hist total < row_count). They
+    # now clamp into the top overflow bucket, keeping totals exact.
+    df = spark.createDataFrame(
+        [("x", T0, 2**40), ("x", T0, 2**62), ("x", T0, 5)],
+        "source string, ts timestamp, n_tok long",
+    )
+    hist = histogram_rollup(df, "1d").collect()[0].hist
+    assert sum(hist) == 3
+    assert hist[N_BINS - 1] == 2  # both huge values in the overflow bucket
+    assert hist[3] == 1           # 5 -> bit length 3

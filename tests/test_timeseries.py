@@ -79,6 +79,113 @@ def test_asof_join_tolerance(spark, quotes):
     assert out[2] == (None, None)        # 50 min old: nulled
 
 
+def test_asof_join_forward(spark, quotes):
+    trades = spark.createDataFrame(
+        [
+            ("a", ts(9), 1),   # next quote at 10
+            ("a", ts(10), 2),  # equal ts -> matches (>=)
+            ("a", ts(25), 3),  # next quote at 40
+            ("a", ts(99), 4),  # after last -> null
+            ("b", ts(6), 5),   # no following quote in group b -> null
+            ("c", ts(50), 6),  # group with no quotes -> null
+        ],
+        "source string, ts timestamp, trade_id long",
+    )
+    out = {
+        r.trade_id: (r.asof_ts, r.px)
+        for r in asof_join(
+            trades, quotes, on="ts", by=("source",), value_cols=("px",),
+            direction="forward",
+        ).collect()
+    }
+    assert out[1] == (ts(10), 100)
+    assert out[2] == (ts(10), 100)
+    assert out[3] == (ts(40), 400)
+    assert out[4] == (None, None)
+    assert out[5] == (None, None)
+    assert out[6] == (None, None)
+
+
+def test_asof_join_forward_tolerance(spark, quotes):
+    trades = spark.createDataFrame(
+        [("a", ts(35), 1), ("a", ts(12), 2)],
+        "source string, ts timestamp, trade_id long",
+    )
+    out = {
+        r.trade_id: (r.asof_ts, r.px)
+        for r in asof_join(
+            trades, quotes, on="ts", by=("source",), value_cols=("px",),
+            tolerance="6 minutes", direction="forward",
+        ).collect()
+    }
+    assert out[1] == (ts(40), 400)   # 5 min ahead: inside tolerance
+    assert out[2] == (None, None)    # next quote 8 min ahead: nulled
+
+
+def test_asof_join_nearest(spark, quotes):
+    trades = spark.createDataFrame(
+        [
+            ("a", ts(12), 1),   # 2 back vs 8 fwd -> backward (10, 100)
+            ("a", ts(17), 2),   # 7 back vs 3 fwd -> forward (20, 200)
+            ("a", ts(15), 3),   # exact tie 5/5 -> backward wins (10, 100)
+            ("a", ts(5), 4),    # nothing behind -> forward (10, 100)
+            ("a", ts(99), 5),   # nothing ahead -> backward (40, 400)
+            ("c", ts(50), 6),   # no quotes at all -> null
+        ],
+        "source string, ts timestamp, trade_id long",
+    )
+    out = {
+        r.trade_id: (r.asof_ts, r.px)
+        for r in asof_join(
+            trades, quotes, on="ts", by=("source",), value_cols=("px",),
+            direction="nearest",
+        ).collect()
+    }
+    assert out[1] == (ts(10), 100)
+    assert out[2] == (ts(20), 200)
+    assert out[3] == (ts(10), 100)
+    assert out[4] == (ts(10), 100)
+    assert out[5] == (ts(40), 400)
+    assert out[6] == (None, None)
+
+
+def test_asof_join_nearest_tolerance(spark, quotes):
+    # trade at 29: back quote 9 min old (outside 5-min tol), fwd quote 11
+    # ahead (outside) -> null; trade at 37: fwd quote 3 ahead -> kept
+    trades = spark.createDataFrame(
+        [("a", ts(29), 1), ("a", ts(37), 2)],
+        "source string, ts timestamp, trade_id long",
+    )
+    out = {
+        r.trade_id: (r.asof_ts, r.px)
+        for r in asof_join(
+            trades, quotes, on="ts", by=("source",), value_cols=("px",),
+            tolerance="5 minutes", direction="nearest",
+        ).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (ts(40), 400)
+
+
+def test_asof_join_value_col_collision_raises(spark, quotes):
+    trades = spark.createDataFrame(
+        [("a", ts(9), 7)], "source string, ts timestamp, px long"
+    )
+    with pytest.raises(ValueError, match="collide with left columns"):
+        asof_join(trades, quotes, by=("source",), value_cols=("px",))
+
+
+def test_asof_join_bad_direction_raises(spark, quotes):
+    trades = spark.createDataFrame(
+        [("a", ts(9), 7)], "source string, ts timestamp, trade_id long"
+    )
+    with pytest.raises(ValueError, match="unknown direction"):
+        asof_join(
+            trades, quotes, by=("source",), value_cols=("px",),
+            direction="sideways",
+        )
+
+
 def test_asof_join_layout_invariant(spark, quotes):
     trades = spark.createDataFrame(
         [("a", ts(m), m) for m in range(0, 120, 7)],
