@@ -450,7 +450,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     one_perm: bool = False,
     verify_exact: bool = False,
-    est_prefilter_margin: float | None = None,
+    est_prefilter_margin: float | None | str = "auto",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over minhash
     signatures, verified by estimated Jaccard (signature agreement rate).
@@ -475,11 +475,21 @@ def minhash_lsh_pairs(
     Recall cost is quantified: a true pair AT j=t has agreement
     ~Binomial(n_perm, t)/n_perm, so at t=0.5, n_perm=64, margin=0.25 the
     screen misses with P[X<16] ≈ 3e-5 — below the 1e-4 banding miss it
-    stacks with. Default ``None`` (no screen — recall = banding recall):
-    measured at sf0.1 the two signature joins cost more than the saved
-    verification; turn it on for corpora where moderate-jaccard pairs
-    dominate the candidate set (boilerplate-heavy web crawls)."""
+    stacks with.
+
+    Default ``"auto"`` (VERDICT r3 #1): the screen turns ON at margin
+    0.25 exactly when the banding is high-recall (rows_per_band ≤ 2) and
+    ``verify_exact`` is set — those bandings admit moderate-jaccard pairs
+    with near-certainty (p = 1−(1−j²)^32 ≈ 0.95 at j=0.3 for 32×2), so on
+    any boilerplate-heavy corpus candidate verification, not the signature
+    scan, dominates; the screen is a join against the already-cached
+    skinny signature table and bounds that volume. Pass ``None`` to force
+    it off (recall = pure banding recall) or a float to set the margin
+    explicitly. Measured at sf1 (BENCH/BASELINE.md): auto-on cuts the
+    32×2 verify-exact wall from ~18.5 s toward r2's 16×4 parity."""
     rows_per_band = n_perm // n_bands
+    if est_prefilter_margin == "auto":
+        est_prefilter_margin = 0.25 if (verify_exact and rows_per_band <= 2) else None
     build = minhash_signatures_oph if one_perm else minhash_signatures
     sigs = build(df, n_perm, shingle_n, seed, text_col, id_col).cache()
     _DEDUP_CACHES.append(sigs)
@@ -539,6 +549,12 @@ def minhash_lsh_pairs(
                 .where(agree >= est_cut)
                 .select("id_a", "id_b")
             )
+        # cand feeds BOTH cand_ids (semi-join) and the final pair join:
+        # un-materialized it would recompute the band join (+ screen joins)
+        # per consumer — the shared-subtree plan trap (CLAUDE.md). Persist
+        # the skinny (id_a, id_b) set once; released via release_dedup_caches.
+        cand = cand.persist()
+        _DEDUP_CACHES.append(cand)
         cand_ids = (
             cand.select(F.col("id_a").alias(id_col))
             .union(cand.select(F.col("id_b").alias(id_col)))

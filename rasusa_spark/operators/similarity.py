@@ -192,19 +192,37 @@ def ivf_build_centroids(
     standard IVF training recipe — training is O(sample), independent of
     table size; assignment below stays distributed). Returns (n_cells, dim).
 
-    The sample is the ``sample`` rows with the smallest
-    ``xxhash64(id, seed)`` — a seeded hash-threshold sample, so centroids
-    depend only on (seed, ids), never on partition layout (CLAUDE.md
-    invariance convention; a bare ``limit()`` would take whichever rows
-    arrive first and change across cluster sizes). orderBy+limit compiles
-    to TakeOrdered — per-partition heap, no global sort."""
+    The sample is the ``sample`` rows with the smallest portable 64-bit
+    md5 hash of ``"{id}:{seed}"`` (two 32-bit md5 halves assembled with
+    shiftleft|or — the engine's cross-engine hash family, CLAUDE.md) — a
+    seeded hash-threshold sample, so centroids depend only on (seed, ids),
+    never on partition layout (a bare ``limit()`` would take whichever
+    rows arrive first and change across cluster sizes), AND the sample is
+    reproducible outside Spark (hashlib/DuckDB md5), which lets the driver
+    oracle rebuild the exact centroids (VERDICT r3 #2). orderBy+limit
+    compiles to TakeOrdered — per-partition heap, no global sort."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f":{int(seed)}"))
+    h = F.shiftleft(
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long"), 32
+    ).bitwiseOR(F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long"))
     rows = (
-        df.select(F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"), vec_col)
-        .orderBy("_h")
+        df.select(h.alias("_h"), F.col(id_col).alias("_i"), vec_col)
+        .orderBy("_h", "_i")
         .limit(sample)
+        .select("_h", vec_col)
         .collect()
     )
     mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return kmeans_centroids(mat, n_cells, iters, seed)
+
+
+def kmeans_centroids(
+    mat: np.ndarray, n_cells: int, iters: int, seed: int
+) -> np.ndarray:
+    """Deterministic k-means on an in-memory sample — shared by the Spark
+    trainer above and the driver-oracle generator (which rebuilds the SAME
+    sample via the portable md5 hash outside Spark), so both sides derive
+    bit-identical centroid literals."""
     rng = np.random.RandomState(seed)
     cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
     for _ in range(iters):

@@ -137,16 +137,28 @@ def remove_duplicated_spans(
     by (doc, position)) occurrence of each repeated window — Lee et al.'s
     remove-all-but-one policy. A token position survives unless some
     duplicated window covers it at a NON-canonical occurrence. Returns
-    (id, text) with surviving tokens rejoined in original order (docs
-    shorter than n tokens pass through untouched).
+    (id, text).
+
+    Output contract (ADVICE r3): docs with nothing to strike — including
+    docs shorter than n tokens — pass through with their ORIGINAL text
+    verbatim. Docs with struck spans are rebuilt from the original-cased
+    tokens joined by single spaces (inter-token whitespace is normalized
+    for modified docs only; matching stays case-insensitive because the
+    fingerprints hash the lowered copy, but reconstruction never does).
 
     The canonical pick is one min-struct aggregate per hot fingerprint
     (map-side combinable — no occurrence-pair join), and span merging is
-    per-doc windows, so the shape matches duplicated_spans."""
-    words_expr = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    per-doc windows, so the shape matches duplicated_spans. Reconstruction
+    concatenates the gap slices BETWEEN the sorted disjoint spans —
+    O(tokens + spans) per doc, never tokens × spans (a dense adversarial
+    doc with ~10⁴ spans stays linear; see the dense-span test)."""
+    # original-cased token array for reconstruction; the lowered copy is
+    # only ever hashed inside _windows (positions align: both split \s+)
+    docs = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_orig"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
     )
-    docs = df.select(F.col(id_col), words_expr.alias("_w"))
     wins = _windows(df, n, text_col, id_col, portable=False)
     occ = (
         wins.groupBy("_wh")
@@ -180,28 +192,26 @@ def remove_duplicated_spans(
         .groupBy(id_col)
         .agg(F.collect_list(F.struct("s", "e")).alias("_cut"))
     )
+    # spans are merged-maximal per doc (islands), so after array_sort they
+    # are sorted AND disjoint: surviving tokens are exactly the gap slices
+    # between consecutive spans (plus head before the first and tail after
+    # the last) — one slice per span + 1, O(tokens + spans) per doc.
     cut = F.array_sort(F.col("_cut"))
-    kept_words = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.size("_w") - 1),
-            lambda i: F.struct(
-                i.alias("i"),
-                F.exists(
-                    cut, lambda sp: (i >= sp["s"]) & (i < sp["e"])
-                ).alias("drop"),
-            ),
-        ),
-        lambda st: ~st["drop"],
-    )
+    n_spans = F.size(cut)
+    w = F.col("_w")
+
+    def gap(j):
+        start = F.when(j == 0, F.lit(0)).otherwise(F.element_at(cut, j)["e"])
+        end = F.when(j == n_spans, F.size(w)).otherwise(
+            F.element_at(cut, j + 1)["s"]
+        )
+        return F.slice(w, start + 1, F.greatest(end - start, F.lit(0)))
+
+    kept_words = F.flatten(F.transform(F.sequence(F.lit(0), n_spans), gap))
     joined = docs.join(spans, on=id_col, how="left")
     return joined.select(
         F.col(id_col),
-        F.when(F.col("_cut").isNull(), F.array_join("_w", " "))
-        .otherwise(
-            F.array_join(
-                F.transform(kept_words, lambda st: F.element_at(F.col("_w"), st["i"] + 1)),
-                " ",
-            )
-        )
+        F.when(F.col("_cut").isNull(), F.col("_orig"))
+        .otherwise(F.array_join(kept_words, " "))
         .alias(text_col),
     )

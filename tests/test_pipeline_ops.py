@@ -484,6 +484,56 @@ def test_minhash_verify_exact_matches_exact_join(spark, docs):
     assert len(want) > 0
 
 
+def test_minhash_prefilter_screen_boilerplate(spark):
+    # VERDICT r3 #1: high-recall bandings (rows_per_band <= 2) admit
+    # moderate-jaccard boilerplate pairs as candidates with near-certainty;
+    # the est_prefilter_margin screen (now auto-on for those bandings)
+    # must drop them BEFORE exact verification without losing any true
+    # pair. Corpus: 400 docs sharing a template at pairwise j~0.2 (below
+    # the 0.5 threshold), plus 5 planted clone pairs at j~0.9.
+    template = [f"tpl{i}" for i in range(60)]
+    rows = []
+    for d in range(400):
+        rows.append((d, " ".join(template + [f"u{d}x{i}" for i in range(180)])))
+    for c in range(5):
+        base = [f"c{c}w{i}" for i in range(200)]
+        rows.append((10000 + 2 * c, " ".join(template[:5] + base)))
+        rows.append(
+            (
+                10001 + 2 * c,
+                " ".join(
+                    template[:5] + base[:-6] + [f"z{c}q{i}" for i in range(6)]
+                ),
+            )
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    on = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                docs, threshold=0.5, n_bands=32, verify_exact=True
+            ).collect(),  # default: screen auto-on for 32x2
+        )
+    )
+    off = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                docs,
+                threshold=0.5,
+                n_bands=32,
+                verify_exact=True,
+                est_prefilter_margin=None,
+            ).collect(),
+        )
+    )
+    assert on == off  # screen never changes the answer on this corpus
+    assert len(on) == 5  # exactly the planted clone pairs
+    assert {(a, b) for a, b, _ in on} == {
+        (10000 + 2 * c, 10001 + 2 * c) for c in range(5)
+    }
+
+
 def test_simhash_clones_zero_hamming(spark, docs):
     doubled = docs.limit(40).union(
         docs.limit(40).withColumn("doc_id", F.col("doc_id") + 100000)

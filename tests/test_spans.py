@@ -85,6 +85,53 @@ def test_short_docs_pass_through(spark):
     assert out == {1: "tiny doc", 2: "tiny doc"}
 
 
+def test_remove_preserves_original_casing(spark):
+    # ADVICE r3: matching is case-insensitive (fingerprints hash the
+    # lowered copy) but reconstruction must keep the ORIGINAL casing.
+    df = _docs(
+        spark,
+        [
+            (1, "Alpha BETA gamma " + PHRASE + " Delta"),
+            (2, "One TWO three four five " + PHRASE.upper() + " Six"),
+        ],
+    )
+    out = {r.doc_id: r.text for r in remove_duplicated_spans(df, n=4).collect()}
+    # doc1 canonical -> untouched, original text verbatim
+    assert out[1] == "Alpha BETA gamma " + PHRASE + " Delta"
+    # doc2 loses the (case-insensitively matched) phrase, keeps its casing
+    assert out[2] == "One TWO three four five Six"
+
+
+def test_remove_untouched_doc_keeps_whitespace(spark):
+    # untouched and short docs pass through VERBATIM — tabs, runs of
+    # spaces, leading/trailing whitespace all intact
+    raw = "  totally\tunique   words nothing shared here at all ok fine "
+    df = _docs(spark, [(1, raw), (2, "tiny\t doc")])
+    out = {r.doc_id: r.text for r in remove_duplicated_spans(df, n=4).collect()}
+    assert out == {1: raw, 2: "tiny\t doc"}
+
+
+def test_remove_dense_spans_linear(spark):
+    # adversarial shape (VERDICT r3 #5): ~5k disjoint struck spans in one
+    # doc (alternating hot window / unique filler). The gap-slice rebuild
+    # is O(tokens + spans); the old per-token exists() was tokens x spans.
+    import time
+
+    S = 5000
+    hot = "h1 h2 h3 h4"
+    body = " ".join(f"{hot} u{i}a u{i}b u{i}c u{i}d" for i in range(S))
+    df = _docs(spark, [(1, body)])
+    t0 = time.perf_counter()
+    out = remove_duplicated_spans(df, n=4).collect()[0].text
+    wall = time.perf_counter() - t0
+    toks = out.split(" ")
+    # first hot occurrence kept, all later ones struck; filler intact
+    assert toks[:4] == ["h1", "h2", "h3", "h4"]
+    assert toks.count("h1") == 1
+    assert len(toks) == 4 + 4 * S
+    assert wall < 30, f"dense-span removal took {wall:.1f}s"
+
+
 def test_spans_layout_invariant(spark, planted):
     a = sorted(map(tuple, duplicated_spans(planted, n=4).collect()))
     b = sorted(map(tuple, duplicated_spans(planted.repartition(5), n=4).collect()))
