@@ -19,6 +19,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -888,6 +890,113 @@ WHERE bit_count(xor(a.sig_lo, b.sig_lo))
 """
 
 
+_SF001_DIR = "/root/testdata/sf0.01"  # the driver's oracle scale (TESTDATA.md)
+
+
+def _vec_lit(v) -> str:
+    """Full-precision DOUBLE[] literal (17 sig digits round-trips f64)."""
+    return "[" + ",".join("%.17g" % float(x) for x in v) + "]"
+
+
+def _ivf_oracle_sql() -> str | None:
+    """Full DuckDB oracle for q_ivf_topk (VERDICT r3 #2). The centroids are
+    a pure function of (seed, vec_ids, embeddings): the training sample is
+    the 512 smallest portable-md5 hashes (signed 64-bit pack — matches
+    Spark's shiftleft|or), and kmeans_centroids is the same numpy code the
+    Spark trainer calls, so the literals here are BIT-IDENTICAL to what
+    q_ivf_topk derives at sf0.01. Cell assignment = first-position argmax
+    of inner product against the centroid literals (list_position finds
+    the first maximum — numpy argmax semantics); probe cells and the final
+    exact-cosine top-k mirror ivf_topk exactly."""
+    import hashlib
+    import os
+
+    import duckdb
+
+    from rasusa_spark.operators.similarity import kmeans_centroids
+
+    path = f"{_SF001_DIR}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    con = duckdb.connect()
+    rows = con.execute(f"SELECT vec_id, embedding FROM '{path}'").fetchall()
+    con.close()
+
+    def h64(i: int, seed: int = 7) -> int:
+        d = hashlib.md5(f"{i}:{seed}".encode()).hexdigest()
+        h = (int(d[:8], 16) << 32) | int(d[8:16], 16)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    rows.sort(key=lambda r: (h64(r[0]), r[0]))
+    mat = np.array([r[1] for r in rows[:512]], dtype=np.float64)
+    cents = kmeans_centroids(mat, n_cells=8, iters=8, seed=7)
+    q = np.ones(64) / np.sqrt(64.0)
+    probes = [int(c) for c in (cents @ q).argsort()[::-1][:3]]
+    sims = "[" + ",".join(
+        f"list_inner_product(embedding::DOUBLE[], {_vec_lit(c)})" for c in cents
+    ) + "]"
+    ones = ",".join(["1.0"] * 64)
+    return f"""
+WITH scored AS (SELECT vec_id, embedding, {sims} AS sims FROM embeddings),
+assigned AS (SELECT vec_id, embedding,
+  list_position(sims, list_max(sims)) - 1 AS cell FROM scored)
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], [{ones}]), 6) AS cosine
+FROM assigned WHERE cell IN ({",".join(map(str, probes))})
+ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+def _lsh_oracle_sql() -> str:
+    """Full DuckDB oracle for q_lsh_topk (VERDICT r3 #2). The hyperplanes
+    are RandomState(seed + 1009·t) literals — no data needed. Each table's
+    bucket is the sign-bit pack of 6 inner products; the 4 per-table probe
+    sets (hamming ≤ 2) OR together, which equals the Spark side's
+    union-then-dropDuplicates candidate id set; then exact cosine top-k."""
+    clauses = []
+    for t in range(4):
+        rng = np.random.RandomState(7 + 1009 * t)
+        planes = rng.normal(size=(6, 64))
+        qbucket = int(((np.ones(64) @ planes.T) > 0) @ (1 << np.arange(6)))
+        probes = (
+            [qbucket]
+            + [qbucket ^ (1 << i) for i in range(6)]
+            + [
+                qbucket ^ (1 << i) ^ (1 << j)
+                for i in range(6)
+                for j in range(i + 1, 6)
+            ]
+        )
+        bucket = " + ".join(
+            f"(CASE WHEN list_inner_product(embedding::DOUBLE[], "
+            f"{_vec_lit(planes[i])}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(6)
+        )
+        clauses.append(
+            f"(({bucket}) IN ({','.join(map(str, sorted(set(probes))))}))"
+        )
+    ones = ",".join(["1.0"] * 64)
+    return f"""
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], [{ones}]), 6) AS cosine
+FROM embeddings WHERE {" OR ".join(clauses)}
+ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+def _multimodal_oracle_sql() -> str:
+    """Full oracle for q_multimodal_features (VERDICT r3 #3): the synth
+    media table's payload LENGTHS are the deterministic formula
+    128 + (i·37) mod 512 and kind cycles image/audio/video, so the
+    expected (media_id, kind, n_bytes) rows are plain literals — the
+    oracle pins the whole mapInPandas plumbing round-trip."""
+    kinds = ["image", "audio", "video"]
+    vals = ",".join(
+        f"('m{i:05d}','{kinds[i % 3]}',{128 + (i * 37) % 512})"
+        for i in range(64)
+    )
+    return (
+        f"SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes "
+        f"FROM (VALUES {vals}) AS t(media_id, kind, n_bytes)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     budget_sql = f"""
 WITH t AS ({_LI_KEYED}),
@@ -1384,5 +1493,12 @@ FROM events GROUP BY 1
             + ",".join(["1.0"] * 64)
             + "]), 6) AS cosine FROM embeddings "
             "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "lsh_topk": _lsh_oracle_sql(),
+        "multimodal_features": _multimodal_oracle_sql(),
+        **(
+            {"ivf_topk": ivf}
+            if (ivf := _ivf_oracle_sql()) is not None
+            else {}
         ),
     }
