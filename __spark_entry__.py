@@ -164,6 +164,30 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "event_type", "asof_ts", "n_tok_sum")
 
 
+def q_asof_join_fwd(spark, sf_dir):
+    """Forward ASOF join (pandas merge_asof direction='forward'): every
+    event picks up the EARLIEST dense hourly rollup point at or after its
+    timestamp — the mirror carry (descending in-partition sort over the
+    same single shuffle). Oracle: DuckDB ASOF LEFT JOIN with the
+    inequality reversed (l.ts <= r.ts)."""
+    from rasusa_spark.operators.timeseries import asof_join
+
+    ev = _events_cents(spark, sf_dir)
+    h1 = rollup(ev, "1h", group_cols=("event_type",)).where(
+        F.col("row_count") >= 5
+    )
+    out = asof_join(
+        ev.select("event_id", "event_type", "ts"),
+        h1,
+        on="ts",
+        by=("event_type",),
+        right_ts="bucket_start",
+        value_cols=("n_tok_sum",),
+        direction="forward",
+    )
+    return out.select("event_id", "event_type", "asof_ts", "n_tok_sum")
+
+
 def q_gapfill_locf_1h(spark, sf_dir):
     """TimescaleDB locf(): gap buckets carry the last observed n_tok_sum
     forward (window over the already-aggregated table; leading gaps stay
@@ -770,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_rerolled_1d": q_rollup_rerolled_1d,
         "gapfill_1h": q_gapfill_1h,
         "asof_join": q_asof_join,
+        "asof_join_fwd": q_asof_join_fwd,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "rollup_quantiles_1h": q_rollup_quantiles_1h,
         "hist_rerolled_1d": q_hist_rerolled_1d,
@@ -1038,6 +1063,16 @@ dense AS (SELECT event_type, bucket_start, n_tok_sum FROM r WHERE rc >= 5)
 SELECT e.event_id, e.event_type, d.bucket_start AS asof_ts, d.n_tok_sum
 FROM ev e ASOF LEFT JOIN dense d
   ON e.event_type = d.event_type AND e.ts >= d.bucket_start
+""",
+        "asof_join_fwd": f"""
+WITH ev AS ({_EV_CENTS}),
+r AS (SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+             CAST(sum(n_tok) AS BIGINT) AS n_tok_sum, count(*) AS rc
+      FROM ev GROUP BY 1, 2),
+dense AS (SELECT event_type, bucket_start, n_tok_sum FROM r WHERE rc >= 5)
+SELECT e.event_id, e.event_type, d.bucket_start AS asof_ts, d.n_tok_sum
+FROM ev e ASOF LEFT JOIN dense d
+  ON e.event_type = d.event_type AND e.ts <= d.bucket_start
 """,
         "gapfill_locf_1h": f"""
 WITH ev AS (SELECT * FROM ({_EV_CENTS}) WHERE event_type = 'click'),

@@ -187,6 +187,47 @@ def asof_join(
     )
 
 
+def asof_join_skinny(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    on: str = "ts",
+    by: tuple[str, ...] | list[str] = ("source",),
+    right_ts: str | None = None,
+    value_cols: tuple[str, ...] | list[str] = ("n_tok_sum",),
+    tolerance: str | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """``asof_join`` for WIDE left rows (the 100-TB training-sequence
+    shape: a left row carries a multi-KB token array). The plain
+    union-and-carry sorts every left column through the window — fine for
+    skinny rows, but at scale the in-partition sort buffers hold the wide
+    payloads. This variant carries only (by, ts, ``left_key``) through the
+    union/sort, then equi-joins the wide left columns back on the unique
+    ``left_key`` afterwards: the sort touches O(|L|+|R|) skinny rows, and
+    the payload bytes move through exactly ONE hash shuffle (the re-join),
+    never a sort.
+
+    Same semantics/result as ``asof_join`` for every ``direction`` /
+    ``tolerance`` (pinned by the equality pytest); requires ``left_key``
+    to be unique per left row."""
+    if left_key not in left.columns:
+        raise ValueError(f"left_key {left_key!r} not in left columns")
+    skinny = left.select(left_key, *by, on)
+    matched = asof_join(
+        skinny,
+        right,
+        on=on,
+        by=by,
+        right_ts=right_ts,
+        value_cols=value_cols,
+        tolerance=tolerance,
+        direction=direction,
+    ).select(left_key, "asof_ts", *value_cols)
+    return left.join(matched, on=left_key)
+
+
 def gap_fill_locf(
     filled: DataFrame,
     *,

@@ -251,3 +251,95 @@ def test_incremental_histogram_merge_equals_batch(spark, raw4k, tmp_path):
     # late buckets (behind the per-group watermark) are rejected by default
     with _pytest.raises(ValueError, match="late"):
         merge_histogram_increment(spark, first, state, tier="1h")
+
+
+def test_stream_flow_kill_resume(spark, raw4k, tmp_path):
+    """End-to-end flow (scripts/stream_flow.py): stream -> stateful budget
+    -> incremental 1h/1d + histogram tiers, interrupted after half the
+    input (simulating a kill between drains) and resumed. The Structured
+    Streaming checkpoint must prevent any re-processing, the budget state
+    must carry across runs, the merged-files manifest must fold each
+    retained file into the tiers exactly once, and the final tiers must
+    bit-equal a direct re-aggregation of the retained set."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_flow",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "stream_flow.py"),
+    )
+    flow = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(flow)
+
+    inp = str(tmp_path / "fin")
+    work = str(tmp_path / "fwork")
+    budget = 100_000
+    # run 1: only the first half of the input exists ("crash" before the rest)
+    raw4k.where(F.col("row_idx") < 1000).coalesce(1).write.parquet(f"{inp}/a")
+    raw4k.where((F.col("row_idx") >= 1000) & (F.col("row_idx") < 2000)).coalesce(
+        1
+    ).write.parquet(f"{inp}/b")
+    s1 = flow.run_flow(spark, f"{inp}/*", work, budget)
+    assert s1["new_files_merged"] > 0
+    n_retained_1 = spark.read.parquet(f"{work}/retained").count()
+
+    # run 2: the rest of the input arrives; resume
+    raw4k.where((F.col("row_idx") >= 2000) & (F.col("row_idx") < 3000)).coalesce(
+        1
+    ).write.parquet(f"{inp}/c")
+    raw4k.where(F.col("row_idx") >= 3000).coalesce(1).write.parquet(f"{inp}/d")
+    s2 = flow.run_flow(spark, f"{inp}/*", work, budget)
+    retained = spark.read.parquet(f"{work}/retained")
+
+    # no reprocessing: run-1 rows still present exactly once, never re-kept
+    first_half = retained.where(F.col("doc_id").isin(
+        [r.doc_id for r in raw4k.where(F.col("row_idx") < 2000).select("doc_id").collect()]
+    ))
+    assert retained.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+    assert first_half.count() == n_retained_1
+
+    # budget invariants over the WHOLE input (state carried across runs)
+    got = (
+        retained.groupBy("source", "bucket_start")
+        .agg(F.sum("n_tok").alias("s"), F.max("n_tok").alias("m"))
+        .collect()
+    )
+    totals = {
+        (r.source, r.b): r.t
+        for r in raw4k.select("source", F.date_trunc("day", "ts").alias("b"), "n_tok")
+        .groupBy("source", "b")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    for r in got:
+        total = totals[(r.source, r.bucket_start)]
+        if total <= budget:
+            assert r.s == total
+        else:
+            assert budget <= r.s < budget + r.m
+
+    # tiers across two incremental runs == direct re-aggregation (bit-equal)
+    stored_1h = spark.read.parquet(f"{work}/state/rollup_1h").drop(
+        "bucket_part", "gap_filled"
+    )
+    direct_1h = rollup(retained, "1h").drop("gap_filled")
+    assert _rows(stored_1h) == _rows(direct_1h)
+    stored_1d = spark.read.parquet(f"{work}/state/rollup_1d").drop(
+        "bucket_part", "gap_filled"
+    )
+    assert _rows(stored_1d) == _rows(rollup(retained, "1d").drop("gap_filled"))
+    from rasusa_spark.functions.histsketch import histogram_rollup
+
+    stored_h = sorted(
+        (r.source, r.bucket_start, tuple(r.hist))
+        for r in spark.read.parquet(f"{work}/state/hist_1h").collect()
+    )
+    direct_h = sorted(
+        (r.source, r.bucket_start, tuple(r.hist))
+        for r in histogram_rollup(retained, "1h").collect()
+    )
+    assert stored_h == direct_h
+
+    # run 3: nothing new -> pure no-op (idempotent)
+    s3 = flow.run_flow(spark, f"{inp}/*", work, budget)
+    assert s3["new_files_merged"] == 0

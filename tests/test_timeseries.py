@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from rasusa_spark.operators.rollup import gap_fill, rollup
 from rasusa_spark.operators.timeseries import (
     asof_join,
+    asof_join_skinny,
     gap_fill_locf,
     rollup_quantiles,
 )
@@ -184,6 +185,43 @@ def test_asof_join_bad_direction_raises(spark, quotes):
             trades, quotes, by=("source",), value_cols=("px",),
             direction="sideways",
         )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_skinny_equals_wide(spark, quotes, direction):
+    # wide left rows (a payload column) — the skinny variant must return
+    # the same matches as the plain carry in every direction
+    trades = spark.createDataFrame(
+        [
+            ("a", ts(m), m, list(range(m, m + 8)))
+            for m in range(0, 120, 7)
+        ]
+        + [("c", ts(50), 999, [1, 2, 3])],
+        "source string, ts timestamp, trade_id long, payload array<int>",
+    )
+    wide = sorted(
+        (r.trade_id, r.asof_ts, r.px, tuple(r.payload))
+        for r in asof_join(
+            trades, quotes, by=("source",), value_cols=("px",),
+            direction=direction,
+        ).collect()
+    )
+    skinny = sorted(
+        (r.trade_id, r.asof_ts, r.px, tuple(r.payload))
+        for r in asof_join_skinny(
+            trades, quotes, left_key="trade_id", by=("source",),
+            value_cols=("px",), direction=direction,
+        ).collect()
+    )
+    assert wide == skinny and len(wide) == 19
+
+
+def test_asof_join_skinny_bad_key_raises(spark, quotes):
+    trades = spark.createDataFrame(
+        [("a", ts(9), 7)], "source string, ts timestamp, trade_id long"
+    )
+    with pytest.raises(ValueError, match="not in left columns"):
+        asof_join_skinny(trades, quotes, left_key="nope", by=("source",))
 
 
 def test_asof_join_layout_invariant(spark, quotes):
