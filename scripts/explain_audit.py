@@ -67,6 +67,33 @@ def main() -> None:
          "blowup possible)", grab(aj))
     )
 
+    from rasusa_spark.operators.timeseries import asof_join_skinny
+
+    wide = df  # tokens column = the wide payload
+    ajs = asof_join_skinny(
+        wide, r1h, left_key="doc_id", on="ts", by=("source",),
+        right_ts="bucket_start", value_cols=("n_tok_sum",),
+    )
+    sections.append(
+        ("as-of join, SKINNY-PAYLOAD variant (the wide-row 100-TB shape): "
+         "the carry-side Sort's child ReadSchema/Project excludes `tokens` "
+         "entirely — only (doc_id, source, ts) pass through the window "
+         "sort; the wide columns re-join on the unique key AFTER the "
+         "carry, so payload bytes ride one hash exchange and never a "
+         "sort buffer", grab(ajs))
+    )
+
+    aj_near = asof_join(
+        sel, r1h, on="ts", by=("source",), right_ts="bucket_start",
+        value_cols=("n_tok_sum",), direction="nearest",
+    )
+    sections.append(
+        ("as-of join, direction='nearest' (both carries over the SAME "
+         "exchange: one Exchange hashpartitioning(source), two in-"
+         "partition Sorts — ascending and descending — never a second "
+         "shuffle)", grab(aj_near))
+    )
+
     from rasusa_spark.functions.histsketch import (
         histogram_rollup,
         histogram_rollup_from_finer,
