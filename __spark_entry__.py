@@ -215,6 +215,71 @@ def q_rollup_quantiles_1h(spark, sf_dir):
     )
 
 
+def q_rollup_15m(spark, sf_dir):
+    """Arbitrary-width continuous aggregate (TimescaleDB time_bucket):
+    15-minute buckets anchored at the public 2000-01-03 origin — pure
+    integer-micros arithmetic (operators/timeseries.py:time_bucket_expr)
+    so the oracle's make_timestamp expression lands on identical
+    boundaries with no float rounding."""
+    from rasusa_spark.operators.timeseries import rollup_bucketed
+
+    ev = _events_cents(spark, sf_dir)
+    return rollup_bucketed(
+        ev, 900, group_cols=("event_type",), value_col="n_tok"
+    ).select(
+        "event_type", "bucket_start", "n_tok_sum", "row_count",
+        "n_tok_min", "n_tok_max",
+    )
+
+
+def q_m4_downsample(spark, sf_dir):
+    """M4 visual downsampling (Jugel et al., VLDB 2014): per 30-min pixel
+    bucket keep min/max/first/last — the error-free line-chart reduction.
+    first/last are struct-min/max over (ts, value) (deterministic under
+    ties), mirrored by the oracle's list(v ORDER BY ts, v)[1]."""
+    from rasusa_spark.operators.timeseries import m4_downsample
+
+    ev = _events_cents(spark, sf_dir)
+    return m4_downsample(ev, 1800, group_cols=("event_type",), value_col="n_tok")
+
+
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB downsampling (Steinarsson 2013) to 20 points per event_type:
+    sequential greedy selection (each bucket's pick maximizes the triangle
+    with the PREVIOUS pick and the next bucket's centroid) — inherently
+    loop-carried, so the oracle unrolls the recursion into chained CTEs
+    with QUALIFY argmax steps, one per output bucket. Integer-exact
+    centroid sums + pinned IEEE operand order make the float areas
+    bit-identical across engines (operators/timeseries.py)."""
+    from rasusa_spark.operators.timeseries import lttb_downsample
+
+    ev = _events_cents(spark, sf_dir)
+    out = lttb_downsample(
+        ev, 20, group_cols=("event_type",), ts_col="ts",
+        value_col="n_tok", id_col="event_id",
+    )
+    return out.select("event_type", "event_id", "ts", "n_tok")
+
+
+def q_distinct_rerolled_1d(spark, sf_dir):
+    """Mergeable distinct-count tier (functions/distinct.py): hourly
+    sorted distinct user-id sets re-rolled to daily by set union — the
+    non-algebraic aggregate whose cascade the plain sum tier can't carry.
+    The oracle recomputes count(DISTINCT) from raw, so the green row
+    proves the 1h→1d union is exactly lossless."""
+    from rasusa_spark.functions.distinct import (
+        distinct_from_finer,
+        distinct_partials,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    h1 = distinct_partials(
+        ev, "1h", group_cols=("event_type",), id_col="user_id"
+    )
+    d1 = distinct_from_finer(h1, "1d", group_cols=("event_type",))
+    return d1.select("event_type", "bucket_start", "n_distinct")
+
+
 def q_dup_spans(spark, sf_dir):
     """Exact substring dedup (Lee et al. 2022 repeated-n-gram pass): maximal
     duplicated token spans per document from stride-1 window fingerprints —
@@ -797,6 +862,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_fwd": q_asof_join_fwd,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "rollup_quantiles_1h": q_rollup_quantiles_1h,
+        "rollup_15m": q_rollup_15m,
+        "m4_downsample": q_m4_downsample,
+        "lttb_downsample": q_lttb_downsample,
+        "distinct_rerolled_1d": q_distinct_rerolled_1d,
         "hist_rerolled_1d": q_hist_rerolled_1d,
         "dup_spans": q_dup_spans,
         "downsample_budget": q_downsample_budget,
@@ -861,6 +930,80 @@ SELECT event_type,
        max(n_tok)                                AS n_tok_max
 FROM ev GROUP BY 1, 2
 """
+
+#: micros since epoch of 2000-01-03 00:00:00 UTC (TimescaleDB origin) and a
+#: time_bucket oracle fragment mirroring time_bucket_expr's integer
+#: arithmetic exactly (// on BIGINT == Spark's `div` for ts >= origin).
+_TB_ORIGIN_US = 946_857_600 * 1_000_000
+
+
+def _tb_sql(width_s: int) -> str:
+    w_us = width_s * 1_000_000
+    return (
+        f"make_timestamp({_TB_ORIGIN_US} + "
+        f"((epoch_us(ts) - {_TB_ORIGIN_US}) // {w_us}) * {w_us})"
+    )
+
+
+def _lttb_oracle_sql(n_out: int = 20) -> str:
+    """LTTB re-derived in pure SQL: the selection recursion (bucket k's
+    pick depends on bucket k-1's pick) is unrolled into one chained CTE
+    per output bucket — each step joins the previous selection to its
+    bucket's candidate points and keeps the max-triangle-area row via
+    QUALIFY (ties -> smallest rn, matching numpy argmax-first). Centroids
+    are CAST(exact-integer-sum AS DOUBLE)/count and the area expression
+    uses the kernel's exact operand order, so every float comparison is
+    bit-identical to the Spark kernel's."""
+    n_mid = n_out - 2
+    steps = []
+    prev = "sel0"
+    for k in range(1, n_mid + 1):
+        steps.append(
+            f"""sel{k} AS (
+  SELECT m.g, m.id, m.ts, m.v, m.rn,
+         CAST(m.x AS DOUBLE) AS px, CAST(m.v AS DOUBLE) AS py
+  FROM {prev} s JOIN mid m ON m.g = s.g AND m.b = {k}
+  JOIN nextref nr ON nr.g = s.g AND nr.b = {k}
+  QUALIFY row_number() OVER (PARTITION BY m.g ORDER BY
+      abs((s.px - nr.cx)*(m.v - s.py) - (s.px - m.x)*(nr.cy - s.py)) DESC,
+      m.rn) = 1)"""
+        )
+        prev = f"sel{k}"
+    sel_union = "\nUNION ALL\n".join(
+        f"SELECT g, id, ts, v FROM sel{k}" for k in range(1, n_mid + 1)
+    )
+    chained = ",\n".join(steps)
+    return f"""
+WITH pts0 AS (
+  SELECT event_type AS g, event_id AS id, ts,
+         CAST(round(value*100) AS INT) AS v, epoch_us(ts) AS xu
+  FROM events),
+gst AS (SELECT g, min(xu) AS x0, count(*) AS n FROM pts0 GROUP BY 1),
+pts AS (SELECT p.g, p.id, p.ts, p.v, p.xu - gs.x0 AS x, gs.n,
+               row_number() OVER (PARTITION BY p.g ORDER BY p.xu, p.id) AS rn
+        FROM pts0 p JOIN gst gs ON p.g = gs.g),
+big AS (SELECT * FROM pts WHERE n > {n_out}),
+mid AS (SELECT *, ((rn-2)*{n_mid})//(n-2) + 1 AS b
+        FROM big WHERE rn >= 2 AND rn <= n-1),
+cent AS (SELECT g, b,
+                CAST(CAST(sum(x) AS BIGINT) AS DOUBLE)/count(*) AS cx,
+                CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)/count(*) AS cy
+         FROM mid GROUP BY 1, 2),
+lastp AS (SELECT g, CAST(x AS DOUBLE) AS cx, CAST(v AS DOUBLE) AS cy
+          FROM big WHERE rn = n),
+nextref AS (SELECT g, b - 1 AS b, cx, cy FROM cent WHERE b >= 2
+            UNION ALL SELECT g, {n_mid} AS b, cx, cy FROM lastp),
+sel0 AS (SELECT g, CAST(x AS DOUBLE) AS px, CAST(v AS DOUBLE) AS py
+         FROM big WHERE rn = 1),
+{chained}
+SELECT g AS event_type, id AS event_id, ts, v AS n_tok
+FROM pts WHERE n <= {n_out}
+UNION ALL
+SELECT g, id, ts, v FROM big WHERE rn = 1 OR rn = n
+UNION ALL
+{sel_union}
+"""
+
 
 _LI_KEYED = f"""
 SELECT *, (l_orderkey*{_KNUTH} + l_linenumber*40503) % 4294967296 AS k,
@@ -1100,6 +1243,33 @@ SELECT event_type, date_trunc('hour', ts) AS bucket_start,
        round(quantile_cont(n_tok, 0.99), 6) AS p99,
        count(*) AS row_count
 FROM ev GROUP BY 1, 2
+""",
+        "rollup_15m": f"""
+WITH ev AS ({_EV_CENTS})
+SELECT event_type, {_tb_sql(900)} AS bucket_start,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+       count(*) AS row_count,
+       min(n_tok) AS n_tok_min,
+       max(n_tok) AS n_tok_max
+FROM ev GROUP BY 1, 2
+""",
+        "m4_downsample": f"""
+WITH ev AS ({_EV_CENTS})
+SELECT event_type, {_tb_sql(1800)} AS bucket_start,
+       min(n_tok) AS v_min,
+       max(n_tok) AS v_max,
+       min(ts) AS ts_first,
+       (list(n_tok ORDER BY ts, n_tok))[1] AS v_first,
+       max(ts) AS ts_last,
+       (list(n_tok ORDER BY ts DESC, n_tok DESC))[1] AS v_last,
+       count(*) AS row_count
+FROM ev GROUP BY 1, 2
+""",
+        "lttb_downsample": _lttb_oracle_sql(20),
+        "distinct_rerolled_1d": """
+SELECT event_type, date_trunc('day', ts) AS bucket_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY 1, 2
 """,
         "dup_spans": """
 WITH words AS (SELECT doc_id,

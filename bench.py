@@ -51,6 +51,8 @@ HEADLINE = [
     "dup_spans",
     "pack_sequences",
     "vocab_stats",
+    "lttb_downsample",
+    "distinct_rerolled_1d",
 ]
 
 

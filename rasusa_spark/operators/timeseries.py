@@ -311,3 +311,200 @@ def rollup_quantiles(
         ],
         F.count(F.lit(1)).alias("row_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# arbitrary-width bucketing (TimescaleDB time_bucket)
+# ---------------------------------------------------------------------------
+
+#: epoch seconds of 2000-01-03 00:00:00 UTC — TimescaleDB's default
+#: ``time_bucket`` origin (a Monday, so week-width buckets start Mondays).
+TIME_BUCKET_ORIGIN_S = 946_857_600
+
+
+def time_bucket_expr(
+    width_s: int,
+    ts_col: str = "ts",
+    *,
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+):
+    """TimescaleDB-style ``time_bucket``: floor ``ts`` to an arbitrary
+    integer-second width anchored at ``origin_s`` (default 2000-01-03, the
+    public TimescaleDB origin). ``date_trunc`` only reaches calendar units;
+    this covers 15-minute / 90-second / 6-hour tiers.
+
+    Pure integer micros arithmetic (``div`` truncation == floor for
+    ``ts >= origin``, the only supported range) so the result is
+    bit-reproducible against DuckDB's
+    ``make_timestamp(o + ((epoch_us(ts) - o) // w) * w)`` — no float
+    division anywhere, no cross-engine boundary rounding.
+
+    Accepts both TIMESTAMP and TIMESTAMP_NTZ inputs (parquet scans land as
+    NTZ; ``unix_micros`` only takes TIMESTAMP) — the inner cast is lossless
+    because the engine pins ``spark.sql.session.timeZone=UTC``
+    (session.py:30). The result is emitted as TIMESTAMP_NTZ so bucket
+    boundaries compare naively against DuckDB's ``make_timestamp``."""
+    if width_s <= 0:
+        raise ValueError(f"width_s must be positive, got {width_s}")
+    o_us = origin_s * 1_000_000
+    w_us = width_s * 1_000_000
+    return F.expr(
+        f"cast(timestamp_micros({o_us}L + ((unix_micros(cast({ts_col} as"
+        f" timestamp)) - {o_us}L) div {w_us}L) * {w_us}L) as timestamp_ntz)"
+    )
+
+
+def rollup_bucketed(
+    df: DataFrame,
+    width_s: int,
+    *,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    value_col: str = "n_tok",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """The §2.5 continuous aggregate over an arbitrary ``time_bucket``
+    width instead of a ``date_trunc`` calendar tier — same single
+    map-side-combinable groupBy shuffle, same integer accumulators (so
+    coarser re-rolls of an exact multiple width stay bit-equal)."""
+    b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    return df.groupBy(*group_cols, b.alias("bucket_start")).agg(
+        F.sum(F.col(value_col).cast("long")).alias("n_tok_sum"),
+        F.count(F.lit(1)).alias("row_count"),
+        F.min(value_col).alias("n_tok_min"),
+        F.max(value_col).alias("n_tok_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# visual-fidelity downsampling: M4 and LTTB
+# ---------------------------------------------------------------------------
+
+
+def m4_downsample(
+    df: DataFrame,
+    width_s: int,
+    *,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    value_col: str = "n_tok",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (group, pixel
+    bucket) keep min/max/first/last of the metric — the error-free
+    aggregation for line-chart rendering at any zoom width.
+
+    One combinable groupBy; first/last are ``min``/``max`` over a
+    ``struct(ts, value)`` (lexicographic, ties broken by value) so the
+    result is deterministic under any partitioning and mirrors the DuckDB
+    oracle's ``list(v ORDER BY ts, v)[1]``. At 100 TB this is the same
+    plan as every rollup tier: map-side partials collapse each bucket to
+    one row before the single (group, bucket) shuffle."""
+    b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    return (
+        df.groupBy(*group_cols, b.alias("bucket_start"))
+        .agg(
+            F.min(value_col).alias("v_min"),
+            F.max(value_col).alias("v_max"),
+            F.min(F.struct(ts_col, value_col)).alias("_first"),
+            F.max(F.struct(ts_col, value_col)).alias("_last"),
+            F.count(F.lit(1)).alias("row_count"),
+        )
+        .select(
+            *group_cols,
+            "bucket_start",
+            "v_min",
+            "v_max",
+            F.col(f"_first.{ts_col}").alias("ts_first"),
+            F.col(f"_first.{value_col}").alias("v_first"),
+            F.col(f"_last.{ts_col}").alias("ts_last"),
+            F.col(f"_last.{value_col}").alias("v_last"),
+            "row_count",
+        )
+    )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    n_out: int,
+    *,
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013, the
+    public visual-downsampling standard): reduce each group's series to
+    ``n_out`` points — first and last kept, and one point per bucket
+    chosen to maximize the triangle area with the previously SELECTED
+    point and the NEXT bucket's centroid. Groups with ≤ ``n_out`` points
+    pass through untouched.
+
+    Semantics pinned for cross-engine reproducibility (the driver oracle
+    re-derives the selection in unrolled SQL):
+
+    - total order: (epoch micros, ``id_col``); 1-based rank ``rn``.
+    - middle points ``rn`` in [2, n-1] get bucket
+      ``b = ((rn-2)*(n_out-2)) // (n-2) + 1`` — a pure per-row integer
+      formula (identical in SQL), monotone in ``rn``, surjective onto
+      [1, n_out-2] whenever n > n_out.
+    - x is epoch micros REBASED to the group min (keeps centroid integer
+      sums inside int64; triangle areas are translation-invariant).
+    - bucket b+1's centroid = CAST(sum AS DOUBLE)/count of exact integer
+      sums (one IEEE division — bit-identical in any engine); for the
+      last bucket the "centroid" is the final point.
+    - area comparison uses 2·area = |(px-cx)(v-py) - (px-x)(cy-py)| in
+      float64 with exactly this operand order; ties pick the smallest rn.
+
+    Scale shape: ``applyInPandas`` over the group key — the in-group scan
+    is numpy-vectorized per bucket (the only Python loop is over the
+    ``n_out`` output buckets, never rows). Groups are (source, day)-sized
+    slices at 100 TB, so per-task memory is one group's points; skewed
+    sources split by bucketing the group key upstream."""
+    import numpy as np
+
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+
+    sel = df.select(*group_cols, id_col, ts_col, value_col)
+    n_mid = n_out - 2
+
+    def kernel(pdf):
+        n = len(pdf)
+        if n <= n_out:
+            return pdf
+        xu = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+        ids = pdf[id_col].values
+        order = np.lexsort((ids, xu))
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        xi = xu[order] - int(xu.min())  # rebased int64 micros
+        vi = pdf[value_col].values.astype("int64")
+        x = xi.astype("float64")
+        v = vi.astype("float64")
+        # contiguous bucket slices from the per-point assignment formula:
+        # middle 0-based idx i (1..n-2) -> b = ((i-1)*n_mid)//(n-2) + 1
+        i_mid = np.arange(1, n - 1)
+        b_of = ((i_mid - 1) * n_mid) // (n - 2) + 1
+        starts = 1 + np.searchsorted(b_of, np.arange(1, n_mid + 2))
+        keep = [0]
+        prev_x, prev_y = x[0], v[0]
+        for k in range(1, n_mid + 1):
+            lo, hi = starts[k - 1], starts[k]
+            if k < n_mid:
+                nlo, nhi = starts[k], starts[k + 1]
+                cnt = nhi - nlo
+                cx = float(int(xi[nlo:nhi].sum())) / cnt
+                cy = float(int(vi[nlo:nhi].sum())) / cnt
+            else:
+                cx, cy = x[n - 1], v[n - 1]
+            area2 = np.abs(
+                (prev_x - cx) * (v[lo:hi] - prev_y)
+                - (prev_x - x[lo:hi]) * (cy - prev_y)
+            )
+            j = lo + int(np.argmax(area2))
+            keep.append(j)
+            prev_x, prev_y = x[j], v[j]
+        keep.append(n - 1)
+        return pdf.iloc[keep]
+
+    return sel.groupBy(*group_cols).applyInPandas(kernel, sel.schema)

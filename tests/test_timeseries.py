@@ -308,3 +308,203 @@ def test_rollup_quantiles_match_numpy(spark):
         assert got[h][0] == pytest.approx(np.quantile(sub, 0.5), abs=1e-6)
         assert got[h][1] == pytest.approx(np.quantile(sub, 0.9), abs=1e-6)
         assert got[h][2] == len(sub)
+
+
+# ---------------------------------------------------------------------------
+# time_bucket / rollup_bucketed / M4 / LTTB
+# ---------------------------------------------------------------------------
+
+
+def _series_df(spark, n=500, seed=7, n_groups=3):
+    """Deterministic jittered series: irregular timestamps, int metric."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(n_groups):
+        t = 0
+        for i in range(n):
+            t += int(rng.integers(1, 240))  # 1..239 s gaps
+            rows.append(
+                (
+                    f"g{g}",
+                    g * 1_000_000 + i,
+                    T0 + dt.timedelta(seconds=t),
+                    int(rng.integers(0, 10_000)),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "source string, ev_id long, ts timestamp, n_tok int"
+    )
+
+
+def test_time_bucket_matches_manual_floor(spark):
+    from rasusa_spark.operators.timeseries import (
+        TIME_BUCKET_ORIGIN_S,
+        time_bucket_expr,
+    )
+
+    df = _series_df(spark, n=200, n_groups=1)
+    got = df.select(
+        "ts", time_bucket_expr(900, "ts").alias("b")
+    ).collect()
+    for r in got:
+        e = int(r.ts.replace(tzinfo=dt.timezone.utc).timestamp())
+        want = TIME_BUCKET_ORIGIN_S + ((e - TIME_BUCKET_ORIGIN_S) // 900) * 900
+        assert int(r.b.replace(tzinfo=dt.timezone.utc).timestamp()) == want
+        assert r.b <= r.ts
+
+
+def test_time_bucket_origin_shift(spark):
+    from rasusa_spark.operators.timeseries import time_bucket_expr
+
+    df = _series_df(spark, n=50, n_groups=1)
+    o = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    got = df.select(
+        "ts", time_bucket_expr(3600, "ts", origin_s=o + 1800).alias("b")
+    ).collect()
+    for r in got:
+        sec = int(r.b.replace(tzinfo=dt.timezone.utc).timestamp())
+        assert (sec - (o + 1800)) % 3600 == 0
+
+
+def test_time_bucket_bad_width(spark):
+    from rasusa_spark.operators.timeseries import time_bucket_expr
+
+    with pytest.raises(ValueError, match="width_s"):
+        time_bucket_expr(0)
+
+
+def test_rollup_bucketed_equals_pandas(spark):
+    from rasusa_spark.operators.timeseries import (
+        TIME_BUCKET_ORIGIN_S,
+        rollup_bucketed,
+    )
+
+    df = _series_df(spark)
+    got = {
+        (r.source, r.bucket_start): (r.n_tok_sum, r.row_count, r.n_tok_min, r.n_tok_max)
+        for r in rollup_bucketed(df, 900, group_cols=("source",)).collect()
+    }
+    pdf = df.toPandas()
+    e = pdf["ts"].values.astype("datetime64[s]").astype("int64")
+    b = TIME_BUCKET_ORIGIN_S + ((e - TIME_BUCKET_ORIGIN_S) // 900) * 900
+    pdf["b"] = b.astype("datetime64[s]")
+    ref = pdf.groupby(["source", "b"])["n_tok"].agg(["sum", "count", "min", "max"])
+    assert len(got) == len(ref)
+    for (src, bb), row in ref.iterrows():
+        k = (src, bb.to_pydatetime())
+        assert got[k] == (row["sum"], row["count"], row["min"], row["max"])
+
+
+def test_m4_downsample_reference(spark):
+    from rasusa_spark.operators.timeseries import m4_downsample
+
+    df = _series_df(spark)
+    out = m4_downsample(df, 1800, group_cols=("source",)).collect()
+    pdf = df.toPandas().sort_values(["source", "ts", "n_tok"])
+    from rasusa_spark.operators.timeseries import TIME_BUCKET_ORIGIN_S
+
+    e = pdf["ts"].values.astype("datetime64[s]").astype("int64")
+    pdf["b"] = (
+        TIME_BUCKET_ORIGIN_S + ((e - TIME_BUCKET_ORIGIN_S) // 1800) * 1800
+    ).astype("datetime64[s]")
+    ref = pdf.groupby(["source", "b"])
+    by_key = {(r.source, r.bucket_start): r for r in out}
+    assert len(by_key) == ref.ngroups
+    for (src, bb), g in ref:
+        r = by_key[(src, bb.to_pydatetime())]
+        assert r.v_min == g["n_tok"].min()
+        assert r.v_max == g["n_tok"].max()
+        # first/last under (ts, value) lexicographic order
+        assert r.v_first == g.iloc[0]["n_tok"]
+        assert r.v_last == g.iloc[-1]["n_tok"]
+        assert r.ts_first == g.iloc[0]["ts"].to_pydatetime()
+        assert r.ts_last == g.iloc[-1]["ts"].to_pydatetime()
+        assert r.row_count == len(g)
+
+
+def _lttb_reference(xs, vs, n_out):
+    """Independent straight-from-the-paper LTTB reimplementation (floats
+    throughout, same bucket-assignment formula)."""
+    n = len(xs)
+    if n <= n_out:
+        return list(range(n))
+    keep = [0]
+    prev = 0
+    n_mid = n_out - 2
+    buckets = [[] for _ in range(n_mid + 1)]
+    for i in range(1, n - 1):
+        buckets[((i - 1) * n_mid) // (n - 2) + 1].append(i)
+    for k in range(1, n_mid + 1):
+        if k < n_mid:
+            nxt = buckets[k + 1]
+            cx = float(sum(int(xs[i]) for i in nxt)) / len(nxt)
+            cy = float(sum(int(vs[i]) for i in nxt)) / len(nxt)
+        else:
+            cx, cy = float(xs[n - 1]), float(vs[n - 1])
+        px, py = float(xs[prev]), float(vs[prev])
+        best, best_a = None, -1.0
+        for i in buckets[k]:
+            a = abs((px - cx) * (float(vs[i]) - py) - (px - float(xs[i])) * (cy - py))
+            if a > best_a:
+                best, best_a = i, a
+        keep.append(best)
+        prev = best
+    keep.append(n - 1)
+    return keep
+
+
+def test_lttb_matches_reference(spark):
+    from rasusa_spark.operators.timeseries import lttb_downsample
+
+    df = _series_df(spark, n=300, n_groups=2)
+    out = lttb_downsample(
+        df, 20, group_cols=("source",), id_col="ev_id"
+    ).collect()
+    got = {
+        src: sorted(r.ev_id for r in out if r.source == src)
+        for src in {"g0", "g1"}
+    }
+    pdf = df.toPandas()
+    for src in ["g0", "g1"]:
+        g = pdf[pdf["source"] == src].copy()
+        g["xu"] = g["ts"].values.astype("datetime64[us]").astype("int64")
+        g = g.sort_values(["xu", "ev_id"]).reset_index(drop=True)
+        xs = (g["xu"] - g["xu"].min()).values
+        keep = _lttb_reference(xs, g["n_tok"].values, 20)
+        assert got[src] == sorted(g.iloc[keep]["ev_id"].tolist())
+        assert len(got[src]) == 20
+
+
+def test_lttb_small_group_passthrough(spark):
+    from rasusa_spark.operators.timeseries import lttb_downsample
+
+    df = _series_df(spark, n=10, n_groups=1)
+    out = lttb_downsample(df, 20, group_cols=("source",), id_col="ev_id")
+    assert out.count() == 10  # n <= n_out: untouched
+
+
+def test_lttb_keeps_endpoints_and_layout_invariant(spark):
+    from rasusa_spark.operators.timeseries import lttb_downsample
+
+    df = _series_df(spark, n=250, n_groups=2)
+    a = lttb_downsample(df.repartition(1), 12, group_cols=("source",), id_col="ev_id")
+    b = lttb_downsample(
+        df.repartition(16, "ev_id"), 12, group_cols=("source",), id_col="ev_id"
+    )
+    ra = sorted((r.source, r.ev_id) for r in a.collect())
+    rb = sorted((r.source, r.ev_id) for r in b.collect())
+    assert ra == rb
+    pdf = df.toPandas()
+    for src in ["g0", "g1"]:
+        g = pdf[pdf["source"] == src].sort_values(["ts", "ev_id"])
+        sel = [i for (s, i) in ra if s == src]
+        assert g.iloc[0]["ev_id"] in sel and g.iloc[-1]["ev_id"] in sel
+        assert len(sel) == 12
+
+
+def test_lttb_bad_n_out(spark):
+    from rasusa_spark.operators.timeseries import lttb_downsample
+
+    df = _series_df(spark, n=5, n_groups=1)
+    with pytest.raises(ValueError, match="n_out"):
+        lttb_downsample(df, 2, group_cols=("source",), id_col="ev_id")
