@@ -280,6 +280,55 @@ def q_distinct_rerolled_1d(spark, sf_dir):
     return d1.select("event_type", "bucket_start", "n_distinct")
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization via Spark's built-in session_window
+    (operators/timeseries.py:sessionize): 6-hour inactivity gap per user
+    over events; the oracle re-derives sessions with the lag>gap island
+    trick (break is STRICTLY greater — probed boundary contract)."""
+    from rasusa_spark.operators.timeseries import sessionize
+
+    ev = _events_cents(spark, sf_dir)
+    out = sessionize(
+        ev, "6 hours", user_col="user_id", ts_col="ts", value_col="n_tok"
+    )
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        "n_tok_sum", "duration_s",
+    )
+
+
+def q_counter_increase_1d(spark, sf_dir):
+    """PromQL-style reset-aware counter increase per (event_type, day)
+    (operators/timeseries.py:counter_increase): deltas over the (ts,
+    event_id)-ordered series, a decrease counts its full value as new
+    increase; first sample contributes 0. Integer-exact, so the lag-based
+    DuckDB oracle hash-matches including the one IEEE rate division."""
+    from rasusa_spark.operators.timeseries import counter_increase
+
+    ev = _events_cents(spark, sf_dir)
+    return counter_increase(
+        ev, 86400, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    ).select(
+        "event_type", "bucket_start", "increase", "n_samples",
+        "n_resets", "rate_per_s",
+    )
+
+
+def q_time_weighted_avg_1h(spark, sf_dir):
+    """TimescaleDB-style LOCF time-weighted average per (event_type, hour)
+    (operators/timeseries.py:time_weighted_avg): integer-micros segment
+    integral from first to last sample in the bucket, one IEEE division;
+    singleton/all-tie buckets pin to the first value."""
+    from rasusa_spark.operators.timeseries import time_weighted_avg
+
+    ev = _events_cents(spark, sf_dir)
+    return time_weighted_avg(
+        ev, 3600, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    ).select("event_type", "bucket_start", "twa", "n_samples")
+
+
 def q_dup_spans(spark, sf_dir):
     """Exact substring dedup (Lee et al. 2022 repeated-n-gram pass): maximal
     duplicated token spans per document from stride-1 window fingerprints —
@@ -866,6 +915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample": q_m4_downsample,
         "lttb_downsample": q_lttb_downsample,
         "distinct_rerolled_1d": q_distinct_rerolled_1d,
+        "sessionize": q_sessionize,
+        "counter_increase_1d": q_counter_increase_1d,
+        "time_weighted_avg_1h": q_time_weighted_avg_1h,
         "hist_rerolled_1d": q_hist_rerolled_1d,
         "dup_spans": q_dup_spans,
         "downsample_budget": q_downsample_budget,
@@ -1266,6 +1318,58 @@ SELECT event_type, {_tb_sql(1800)} AS bucket_start,
 FROM ev GROUP BY 1, 2
 """,
         "lttb_downsample": _lttb_oracle_sql(20),
+        "sessionize": f"""
+WITH ev AS ({_EV_CENTS}),
+b AS (SELECT user_id, event_id, ts, n_tok,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk
+      FROM ev),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+FROM s GROUP BY user_id, sid
+""",
+        "counter_increase_1d": f"""
+WITH ev AS ({_EV_CENTS}),
+d AS (SELECT event_type, ts, n_tok,
+             lag(n_tok) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS prev
+      FROM ev),
+c AS (SELECT event_type, {_tb_sql(86400)} AS bucket_start,
+             CASE WHEN prev IS NULL THEN 0
+                  WHEN n_tok < prev THEN n_tok
+                  ELSE n_tok - prev END AS inc,
+             CASE WHEN prev IS NOT NULL AND n_tok < prev
+                  THEN 1 ELSE 0 END AS rst
+      FROM d)
+SELECT event_type, bucket_start, CAST(sum(inc) AS BIGINT) AS increase,
+       count(*) AS n_samples, CAST(sum(rst) AS BIGINT) AS n_resets,
+       CAST(CAST(sum(inc) AS BIGINT) AS DOUBLE) / 86400.0 AS rate_per_s
+FROM c GROUP BY 1, 2
+""",
+        "time_weighted_avg_1h": f"""
+WITH ev AS ({_EV_CENTS}),
+p AS (SELECT event_type, event_id, n_tok, epoch_us(ts) AS xu,
+             {_tb_sql(3600)} AS bk
+      FROM ev),
+g AS (SELECT *, lead(xu) OVER (PARTITION BY event_type, bk
+                               ORDER BY xu, event_id) AS nx FROM p),
+a AS (SELECT event_type, bk AS bucket_start,
+             CAST(sum(CASE WHEN nx IS NULL THEN 0
+                           ELSE (nx - xu) * n_tok END) AS BIGINT) AS num,
+             max(xu) - min(xu) AS den,
+             (list(n_tok ORDER BY xu, event_id))[1] AS fv,
+             count(*) AS n_samples
+      FROM g GROUP BY 1, 2)
+SELECT event_type, bucket_start,
+       CASE WHEN den = 0 THEN CAST(fv AS DOUBLE)
+            ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS twa,
+       n_samples
+FROM a
+""",
         "distinct_rerolled_1d": """
 SELECT event_type, date_trunc('day', ts) AS bucket_start,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct

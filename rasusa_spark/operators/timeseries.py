@@ -508,3 +508,177 @@ def lttb_downsample(
         return pdf.iloc[keep]
 
     return sel.groupBy(*group_cols).applyInPandas(kernel, sel.schema)
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization, reset-aware counter rate, time-weighted average
+# ---------------------------------------------------------------------------
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: group each user's events into sessions
+    separated by more than ``gap`` of inactivity — the classic web/event
+    analytics operator (and the reference's read-group analog: reads that
+    belong together are processed together, SURVEY §2.6).
+
+    Spark-first: this IS the built-in ``F.session_window`` aggregation
+    (JVM-side session assignment, map-side combinable, identical semantics
+    in batch and Structured Streaming) — no window-lag + cumsum re-derivation
+    needed. One shuffle on ``user_col``; session merging happens inside the
+    aggregate, so the 100-TB shape is a single (user)-keyed exchange.
+
+    Output: one row per (user, session) with ``session_start`` (min ts),
+    ``session_end`` (max ts), ``n_events``, ``duration_s`` (integer seconds,
+    0 for singletons) and, when ``value_col`` is given, its integer sum.
+    Session MEMBERSHIP is tie-order-invariant (equal timestamps never open
+    a gap), so the result is deterministic under any partitioning.
+
+    Boundary contract (probed, pinned by test): a gap of EXACTLY ``gap``
+    still merges — a new session opens only when the inter-event gap is
+    strictly greater (oracle: ``ts - lag(ts) > INTERVAL gap``)."""
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("long")).alias(f"{value_col}_sum"))
+    out = (
+        df.groupBy(user_col, F.session_window(ts_col, gap).alias("_sw"))
+        .agg(*aggs)
+        .drop("_sw")
+    )
+    return out.withColumn(
+        "duration_s",
+        (
+            F.unix_micros(F.col("session_end").cast("timestamp"))
+            - F.unix_micros(F.col("session_start").cast("timestamp"))
+        )
+        / F.lit(1_000_000),
+    ).withColumn("duration_s", F.col("duration_s").cast("long"))
+
+
+def counter_increase(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """Reset-aware counter ``increase`` per (series, bucket) — the public
+    Prometheus/PromQL counter semantics: a counter only goes up; a sample
+    LOWER than its predecessor means the counter reset, and the sample's
+    full value counts as new increase.
+
+    Pinned contract (integer-exact, so the DuckDB oracle hash-matches):
+
+    - total order within a series: (``ts``, ``id_col``) — ties broken by
+      the unique id identically in both engines;
+    - per sample: ``delta = v - lag(v)``; contribution =
+      ``v`` if ``delta < 0`` (reset) else ``delta``; the series' FIRST
+      sample contributes 0 (no predecessor — no extrapolation, unlike
+      PromQL's range-vector estimate, so the result is exact);
+    - a sample's contribution lands in ITS OWN time bucket
+      (``time_bucket_expr`` boundaries).
+
+    Scale shape: one window over ``series_cols`` (single shuffle +
+    in-partition sort) feeding one combinable groupBy on (series, bucket).
+    ``rate_per_s`` = increase / bucket width, one IEEE division."""
+    wd = Window.partitionBy(*series_cols).orderBy(ts_col, id_col)
+    v = F.col(value_col).cast("long")
+    prev = F.lag(v).over(wd)
+    contrib = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(v < prev, v)
+        .otherwise(v - prev)
+    )
+    is_reset = F.when(prev.isNotNull() & (v < prev), 1).otherwise(0)
+    b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    return (
+        df.withColumn("_inc", contrib)
+        .withColumn("_rst", is_reset)
+        .groupBy(*series_cols, b.alias("bucket_start"))
+        .agg(
+            F.sum("_inc").alias("increase"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("_rst").alias("n_resets"),
+        )
+        .withColumn(
+            "rate_per_s",
+            F.col("increase").cast("double") / F.lit(float(width_s)),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """Time-weighted average per (series, bucket) with LOCF weighting —
+    the public TimescaleDB ``time_weight('LOCF', ...)`` / ``average()``
+    semantics: integrate the step function through the bucket's OBSERVED
+    span (first to last sample; no extrapolation to bucket edges) and
+    divide by that span.
+
+    Pinned contract (cross-engine exact):
+
+    - order within (series, bucket): (``ts``, ``id_col``);
+    - numerator = Σ v_i · (ts_{i+1} − ts_i) in INTEGER micros — exact in
+      int64 (bound: v_max · width_us · n_per_bucket < 2⁶³; at cents-scale
+      metrics and ≤ 1h buckets that allows ~10⁵ samples per series-bucket;
+      wider tiers re-roll from the finer tier instead of re-integrating);
+    - denominator = ts_last − ts_first micros;
+    - ``twa`` = CAST(num AS DOUBLE)/CAST(den AS DOUBLE) — ONE IEEE
+      division, bit-identical in DuckDB; a single-sample (or all-ties)
+      bucket has den = 0 → ``twa`` = its first value.
+
+    Same scale shape as ``counter_increase``: one (series, bucket)-keyed
+    window + one combinable groupBy."""
+    b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    base = df.withColumn("_bk", b).withColumn(
+        "_xu", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    wd = Window.partitionBy(*series_cols, "_bk").orderBy("_xu", id_col)
+    v = F.col(value_col).cast("long")
+    nxt = F.lead("_xu").over(wd)
+    seg = F.when(nxt.isNull(), F.lit(0)).otherwise((nxt - F.col("_xu")) * v)
+    out = (
+        base.withColumn("_seg", seg)
+        .groupBy(*series_cols, F.col("_bk").alias("bucket_start"))
+        .agg(
+            F.sum("_seg").alias("_num"),
+            (F.max("_xu") - F.min("_xu")).alias("_den"),
+            F.min(
+                F.struct(
+                    F.col("_xu").alias("x"),
+                    F.col(id_col).alias("i"),
+                    v.alias("v"),
+                )
+            ).alias("_first"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    return out.select(
+        *series_cols,
+        "bucket_start",
+        F.when(F.col("_den") == 0, F.col("_first.v").cast("double"))
+        .otherwise(F.col("_num").cast("double") / F.col("_den").cast("double"))
+        .alias("twa"),
+        "n_samples",
+    )

@@ -508,3 +508,181 @@ def test_lttb_bad_n_out(spark):
     df = _series_df(spark, n=5, n_groups=1)
     with pytest.raises(ValueError, match="n_out"):
         lttb_downsample(df, 2, group_cols=("source",), id_col="ev_id")
+
+
+# ---------------------------------------------------------------------------
+# sessionize / counter_increase / time_weighted_avg
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_known_boundaries(spark):
+    from rasusa_spark.operators.timeseries import sessionize
+
+    rows = [
+        # user 1: two sessions (gap 30m; 40m break between them)
+        (1, T0, 10),
+        (1, T0 + dt.timedelta(minutes=10), 20),
+        (1, T0 + dt.timedelta(minutes=25), 30),
+        (1, T0 + dt.timedelta(minutes=65), 40),  # 40m after prev -> new
+        # user 2: one singleton
+        (2, T0 + dt.timedelta(hours=2), 7),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, n_tok int")
+    out = {
+        (r.user_id, r.session_start): (r.n_events, r.duration_s, r.n_tok_sum)
+        for r in sessionize(df, "30 minutes", value_col="n_tok").collect()
+    }
+    assert out == {
+        (1, T0): (3, 25 * 60, 60),
+        (1, T0 + dt.timedelta(minutes=65)): (1, 0, 40),
+        (2, T0 + dt.timedelta(hours=2)): (1, 0, 7),
+    }
+
+
+def test_sessionize_matches_pandas_and_layout_invariant(spark):
+    from rasusa_spark.operators.timeseries import sessionize
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for u in range(20):
+        t = 0
+        for _ in range(60):
+            t += int(rng.integers(30, 4000))  # mix of <gap and >gap jumps
+            rows.append((u, T0 + dt.timedelta(seconds=t), int(rng.integers(100))))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, n_tok int")
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, "30 minutes").collect()
+    )
+    # pandas re-derivation: break where gap > 1800s
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["u", "ts", "v"]).sort_values(["u", "ts"])
+    exp = []
+    for u, g in pdf.groupby("u"):
+        ts = g["ts"].tolist()
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if (t - prev).total_seconds() > 1800:
+                exp.append((u, start, prev, n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        exp.append((u, start, prev, n))
+    assert got == sorted(exp)
+    got2 = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df.repartition(13), "30 minutes").collect()
+    )
+    assert got2 == got
+
+
+def test_counter_increase_resets(spark):
+    from rasusa_spark.operators.timeseries import counter_increase
+
+    # counter: 10 -> 25 -> 3 (reset) -> 8 -> first sample of a 2nd series
+    rows = [
+        ("a", 1, T0 + dt.timedelta(seconds=10), 10),
+        ("a", 2, T0 + dt.timedelta(seconds=20), 25),
+        ("a", 3, T0 + dt.timedelta(seconds=30), 3),
+        ("a", 4, T0 + dt.timedelta(seconds=40), 8),
+        ("b", 5, T0 + dt.timedelta(seconds=15), 999),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, ev long, ts timestamp, n_tok int"
+    )
+    out = {
+        (r.source, r.bucket_start): (r.increase, r.n_resets, r.n_samples)
+        for r in counter_increase(
+            df, 3600, series_cols=("source",), id_col="ev"
+        ).collect()
+    }
+    # a: 0 (first) + 15 + 3 (reset -> full value) + 5 = 23, one reset
+    assert out == {("a", T0): (23, 1, 4), ("b", T0): (0, 0, 1)}
+
+
+def test_counter_increase_matches_numpy(spark):
+    from rasusa_spark.operators.timeseries import counter_increase
+
+    df = _series_df(spark, n=400, seed=3)
+    got = {
+        (r.source, r.bucket_start): r.increase
+        for r in counter_increase(
+            df, 3600, series_cols=("source",), id_col="ev_id"
+        ).collect()
+    }
+    pdf = df.toPandas().sort_values(["source", "ts", "ev_id"])
+    exp = {}
+    for src, g in pdf.groupby("source"):
+        v = g["n_tok"].to_numpy()
+        ts = g["ts"].values.astype("datetime64[us]").astype("int64")
+        prev = np.roll(v, 1).astype("int64")
+        contrib = np.where(v < prev, v, v - prev)
+        contrib[0] = 0
+        o_us = 946_857_600 * 1_000_000
+        bk = o_us + ((ts - o_us) // 3_600_000_000) * 3_600_000_000
+        for b in np.unique(bk):
+            key = (src, np.datetime64(int(b), "us").astype("datetime64[us]").item())
+            exp[key] = int(contrib[bk == b].sum())
+    assert got == exp
+    got2 = {
+        (r.source, r.bucket_start): r.increase
+        for r in counter_increase(
+            df.repartition(11), 3600, series_cols=("source",), id_col="ev_id"
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_time_weighted_avg_manual(spark):
+    from rasusa_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        # v=10 for 30s, v=20 for 10s, last sample v=99 (weight 0)
+        ("a", 1, T0 + dt.timedelta(seconds=0), 10),
+        ("a", 2, T0 + dt.timedelta(seconds=30), 20),
+        ("a", 3, T0 + dt.timedelta(seconds=40), 99),
+        # singleton bucket -> twa = value
+        ("b", 4, T0 + dt.timedelta(seconds=5), 77),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, ev long, ts timestamp, n_tok int"
+    )
+    out = {
+        (r.source,): (r.twa, r.n_samples)
+        for r in time_weighted_avg(
+            df, 3600, series_cols=("source",), id_col="ev"
+        ).collect()
+    }
+    assert out[("a",)] == ((10 * 30 + 20 * 10) / 40.0, 3)
+    assert out[("b",)] == (77.0, 1)
+
+
+def test_time_weighted_avg_matches_numpy(spark):
+    from rasusa_spark.operators.timeseries import time_weighted_avg
+
+    df = _series_df(spark, n=300, seed=9)
+    got = {
+        (r.source, r.bucket_start): r.twa
+        for r in time_weighted_avg(
+            df, 3600, series_cols=("source",), id_col="ev_id"
+        ).collect()
+    }
+    pdf = df.toPandas().sort_values(["source", "ts", "ev_id"])
+    o_us = 946_857_600 * 1_000_000
+    exp = {}
+    for src, g in pdf.groupby("source"):
+        ts = g["ts"].values.astype("datetime64[us]").astype("int64")
+        v = g["n_tok"].to_numpy().astype("int64")
+        bk = o_us + ((ts - o_us) // 3_600_000_000) * 3_600_000_000
+        for b in np.unique(bk):
+            m = bk == b
+            x, vv = ts[m], v[m]
+            key = (src, np.datetime64(int(b), "us").astype("datetime64[us]").item())
+            if len(x) == 1 or x[-1] == x[0]:
+                exp[key] = float(vv[0])
+            else:
+                num = int((vv[:-1] * np.diff(x)).sum())
+                exp[key] = float(num) / float(int(x[-1] - x[0]))
+    assert got == exp
