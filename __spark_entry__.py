@@ -280,6 +280,37 @@ def q_distinct_rerolled_1d(spark, sf_dir):
     return d1.select("event_type", "bucket_start", "n_distinct")
 
 
+def q_cms_user_counts_1d(spark, sf_dir):
+    """Count-min sketch tier (functions/cms.py): hourly d=4 x w=256
+    sketches of per-(event_type, bucket) user activity, re-rolled to daily
+    by cell-wise addition (bit-equal cascade), then point-queried for the
+    candidate users (user_id % 7 == 0). The portable md5 row hashes make
+    the whole sketch — and every min-of-4 estimate — reproducible in
+    DuckDB, so the green row proves both the cascade and the estimates."""
+    from rasusa_spark.functions.cms import (
+        cms_estimate,
+        cms_from_finer,
+        cms_partials,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    h1 = cms_partials(
+        ev, "1h", group_cols=("event_type",), item_col="user_id"
+    )
+    d1 = cms_from_finer(h1, "1d", group_cols=("event_type",))
+    cand = (
+        ev.where(F.col("user_id") % 7 == 0)
+        .select(F.col("user_id").alias("item"))
+        .distinct()
+    )
+    est = cms_estimate(
+        d1, cand, group_cols=("event_type",), item_col="item"
+    )
+    return est.select(
+        "event_type", "bucket_start", F.col("item").alias("user_id"), "est"
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization via Spark's built-in session_window
     (operators/timeseries.py:sessionize): 6-hour inactivity gap per user
@@ -915,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample": q_m4_downsample,
         "lttb_downsample": q_lttb_downsample,
         "distinct_rerolled_1d": q_distinct_rerolled_1d,
+        "cms_user_counts_1d": q_cms_user_counts_1d,
         "sessionize": q_sessionize,
         "counter_increase_1d": q_counter_increase_1d,
         "time_weighted_avg_1h": q_time_weighted_avg_1h,
@@ -1318,6 +1350,33 @@ SELECT event_type, {_tb_sql(1800)} AS bucket_start,
 FROM ev GROUP BY 1, 2
 """,
         "lttb_downsample": _lttb_oracle_sql(20),
+        "cms_user_counts_1d": """
+WITH rs AS (SELECT unnest([0,1,2,3]) AS r),
+cells AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start, rs.r,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' ||
+                                 CAST(rs.r AS VARCHAR)), 1, 4)
+              AS UBIGINT) % 256 AS idx
+  FROM events CROSS JOIN rs),
+state AS (SELECT event_type, bucket_start, r, idx, count(*) AS cnt
+          FROM cells GROUP BY 1, 2, 3, 4),
+cand AS (SELECT DISTINCT user_id AS item FROM events WHERE user_id % 7 = 0),
+candcells AS (
+  SELECT item, rs.r,
+         CAST('0x' || substr(md5(CAST(item AS VARCHAR) || '|' ||
+                                 CAST(rs.r AS VARCHAR)), 1, 4)
+              AS UBIGINT) % 256 AS idx
+  FROM cand CROSS JOIN rs),
+grid AS (SELECT DISTINCT event_type, bucket_start FROM state),
+probe AS (SELECT g.event_type, g.bucket_start, c.item, c.r, c.idx
+          FROM grid g CROSS JOIN candcells c)
+SELECT p.event_type, p.bucket_start, p.item AS user_id,
+       CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+FROM probe p LEFT JOIN state s
+  ON s.event_type = p.event_type AND s.bucket_start = p.bucket_start
+ AND s.r = p.r AND s.idx = p.idx
+GROUP BY 1, 2, 3
+""",
         "sessionize": f"""
 WITH ev AS ({_EV_CENTS}),
 b AS (SELECT user_id, event_id, ts, n_tok,

@@ -1,0 +1,149 @@
+"""Count-min sketch tier for the continuous-aggregate cascade (Cormode &
+Muthukrishnan, J. Algorithms 2005) — the mergeable frequency carrier: "how
+often did item X occur in this bucket" at bounded state, for item domains
+too large to keep exact per-item counts (the heavy-hitters / frequent-token
+question a 100-TB token pipeline asks per time slice).
+
+Why it fits the tier story (SURVEY §2.5, same contract as histsketch.py and
+distinct.py): CMS merge is element-wise counter ADDITION — exactly
+associative and commutative — so re-rolling 1h sketches into 1d is
+bit-equal to sketching the raw data at 1d directly, and the O(delta)
+incremental-merge argument of streaming/incremental.py applies verbatim.
+The point query ``est(x) = min_r cnt[r][h_r(x)]`` never underestimates
+(every occurrence of x lands in all d of its cells) and overestimates by
+at most ``eps * N`` with probability ``1 - delta`` for ``w = e/eps``,
+``d = ln(1/delta)``.
+
+Cross-engine portability: the row hashes are the repo's portable md5
+recipe (CLAUDE.md) — ``conv(substring(md5(item || '|' || r), 1, 4), 16,
+10) % w`` on the Spark side equals DuckDB's ``CAST('0x' || substr(md5(...),
+1, 4) AS UBIGINT) % w`` (16-bit slice, so any ``w <= 65536``), which makes
+the sketch — and therefore every estimate — bit-identical in the oracle.
+
+Representation: SKINNY ROWS (group, bucket, r, idx, cnt), not a d×w array
+column — map-side combine collapses each partition's contribution to at
+most d·w rows per (group, bucket) before the one shuffle, empty cells cost
+nothing, and the coarser-tier merge is a plain combinable groupBy-sum.
+
+Reference anchor: extends the engine's mergeable-aggregate family the same
+way histsketch.py (quantiles) and distinct.py (cardinality) do; the
+reference's per-file summary stats are the degenerate exact case
+(src/summary.rs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.rollup import bucket_expr
+
+#: default geometry: d=4 rows x w=256 columns -> eps ~ e/256 ~ 1.1% of the
+#: bucket's total mass, delta ~ e^-4 ~ 1.8%; 1 KiB-order state per bucket.
+D_ROWS = 4
+W_COLS = 256
+
+
+def _idx_expr(item, r: int, w: int):
+    """Portable row hash: 16-bit md5 slice of ``item || '|r'`` mod ``w``.
+    ``conv`` returns STRING in Spark — cast before the mod (stays far
+    inside int64, so ANSI-safe)."""
+    salted = F.concat(item.cast("string"), F.lit(f"|{r}"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 4), 16, 10).cast("int") % w
+    ).alias("idx")
+
+
+def cms_partials(
+    df: DataFrame,
+    tier: str,
+    *,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    item_col: str = "doc_id",
+    d: int = D_ROWS,
+    w: int = W_COLS,
+) -> DataFrame:
+    """Per-(group, bucket) CMS state as skinny rows (r, idx, cnt): each
+    input row increments one cell per sketch row — emitted via a single
+    ``inline`` of the d (r, idx) structs, then ONE map-side-combinable
+    groupBy count. Weighted variants pass a pre-aggregated df with a
+    repeat count; here every row has mass 1."""
+    if not (1 <= d <= 16):
+        raise ValueError(f"d must be in [1,16], got {d}")
+    if not (2 <= w <= 65536):
+        raise ValueError(f"w must be in [2,65536], got {w}")
+    item = F.col(item_col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _idx_expr(item, r, w))
+            for r in range(d)
+        ]
+    )
+    return (
+        df.select(
+            *group_cols,
+            bucket_expr(tier, ts_col).alias("bucket_start"),
+            F.inline(cells),
+        )
+        .groupBy(*group_cols, "bucket_start", "r", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_from_finer(
+    finer: DataFrame,
+    tier: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+) -> DataFrame:
+    """Re-roll CMS state into a coarser tier: cell-wise counter addition —
+    exactly associative, so the cascade is bit-equal to sketching raw data
+    at the coarser tier directly (pinned in pytest). O(finer-state) work,
+    never touches raw rows."""
+    return finer.groupBy(
+        *group_cols,
+        bucket_expr(tier, "bucket_start").alias("bucket_start"),
+        "r",
+        "idx",
+    ).agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    candidates: DataFrame,
+    *,
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    item_col: str = "item",
+    d: int = D_ROWS,
+    w: int = W_COLS,
+) -> DataFrame:
+    """Point-query the sketch for each candidate item: expand each
+    candidate to its d (r, idx) cells, left-join the skinny state on
+    (group, bucket, r, idx) — the candidate side is tiny (AQE broadcasts
+    it), missing cells read 0 — and take ``min`` over the d rows.
+
+    Output: one row per (group, bucket, item) with ``est`` — guaranteed
+    ``est >= true count``, the classic CMS one-sided error.
+
+    The ``crossJoin`` below is the OUTPUT GRID itself (|buckets| x
+    |candidates| — both aggregate-sized, candidate side explicitly
+    broadcast), not a data-scale join: it exists to materialize the
+    zero cells a left join needs so ``min`` keeps the >= guarantee for
+    never-seen items. An inner join on (r, idx) alone would silently
+    drop empty cells and overestimate without bound."""
+    item = F.col(item_col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _idx_expr(item, r, w))
+            for r in range(d)
+        ]
+    )
+    cand = candidates.select(item_col, F.inline(cells))
+    keys = [*group_cols, "bucket_start"]
+    buckets = cms.select(*keys).distinct()
+    probe = buckets.crossJoin(F.broadcast(cand))
+    joined = probe.join(cms, on=[*keys, "r", "idx"], how="left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    return joined.groupBy(*keys, item_col).agg(F.min("cnt").alias("est"))

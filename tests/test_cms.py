@@ -1,0 +1,119 @@
+"""Count-min sketch tier (functions/cms.py): one-sided error guarantee,
+bit-equal 1h→1d cascade, exactness when w exceeds the item domain, and
+layout invariance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from rasusa_spark.functions.cms import (
+    cms_estimate,
+    cms_from_finer,
+    cms_partials,
+)
+
+T0 = dt.datetime(2026, 4, 6, 0, 0, 0)  # a Monday
+
+
+@pytest.fixture(scope="module")
+def hits(spark):
+    """2 sources x 3 days; zipf-ish item frequencies from a 400-item
+    domain so collisions at w=256 are real."""
+    rng = np.random.default_rng(23)
+    rows = []
+    for s in range(2):
+        ids = rng.zipf(1.5, size=4000) % 400
+        for i, item in enumerate(ids):
+            t = T0 + dt.timedelta(seconds=int(rng.integers(0, 3 * 86400)))
+            rows.append((f"s{s}", int(item), t))
+    return spark.createDataFrame(rows, "source string, item long, ts timestamp")
+
+
+def _state_key(r):
+    return (r.source, r.bucket_start, r.r, r.idx)
+
+
+def test_cascade_bit_equal(spark, hits):
+    h1 = cms_partials(hits, "1h", item_col="item")
+    d_cascade = cms_from_finer(h1, "1d")
+    d_direct = cms_partials(hits, "1d", item_col="item")
+    a = {_state_key(r): r.cnt for r in d_cascade.collect()}
+    b = {_state_key(r): r.cnt for r in d_direct.collect()}
+    assert a == b  # cell-wise addition is exactly associative
+
+
+def test_estimate_one_sided_and_total_mass(spark, hits):
+    d1 = cms_partials(hits, "1d", item_col="item")
+    cand = spark.range(0, 400).withColumnRenamed("id", "item")
+    est = {
+        (r.source, r.bucket_start, r.item): r.est
+        for r in cms_estimate(d1, cand, item_col="item").collect()
+    }
+    pdf = hits.toPandas()
+    pdf["d"] = pdf["ts"].values.astype("datetime64[D]")
+    true = pdf.groupby(["source", "d", "item"]).size()
+    n_exact = 0
+    for (src, day, item), n in true.items():
+        key = (src, dt.datetime.combine(day, dt.time()), int(item))
+        assert est[key] >= n  # CMS never underestimates
+        n_exact += est[key] == n
+    # with d=4 independent-ish rows most point queries are exact
+    assert n_exact / len(true) > 0.5
+    # never-seen items exist in the grid and are >= 0
+    seen = {
+        (s, dt.datetime.combine(d, dt.time()), int(i))
+        for (s, d, i) in true.index
+    }
+    unseen = [k for k in est if k not in seen]
+    assert unseen and all(est[k] >= 0 for k in unseen)
+    # per-row total mass equals row count of the bucket (cnt sums to N per r)
+    from pyspark.sql import functions as F
+
+    mass = {
+        (r.source, r.bucket_start, r.r): r.total
+        for r in d1.groupBy("source", "bucket_start", "r")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    }
+    bucket_n = pdf.groupby(["source", "d"]).size()
+    for (src, day), n in bucket_n.items():
+        for r in range(4):
+            assert mass[(src, dt.datetime.combine(day, dt.time()), r)] == n
+
+
+def test_exact_when_wide(spark, hits):
+    """w=65536 >> 400 items: collisions are vanishingly rare per row and
+    min-of-4 makes a collision on ALL rows essentially impossible — every
+    estimate equals the true count."""
+    d1 = cms_partials(hits, "1d", item_col="item", w=65536)
+    cand = spark.range(0, 400).withColumnRenamed("id", "item")
+    est = {
+        (r.source, r.bucket_start, r.item): r.est
+        for r in cms_estimate(d1, cand, item_col="item", w=65536).collect()
+    }
+    pdf = hits.toPandas()
+    pdf["d"] = pdf["ts"].values.astype("datetime64[D]")
+    for (src, day, item), n in pdf.groupby(["source", "d", "item"]).size().items():
+        assert est[(src, dt.datetime.combine(day, dt.time()), int(item))] == n
+
+
+def test_layout_invariant(spark, hits):
+    a = {
+        _state_key(r): r.cnt
+        for r in cms_partials(hits, "1d", item_col="item").collect()
+    }
+    b = {
+        _state_key(r): r.cnt
+        for r in cms_partials(hits.repartition(17), "1d", item_col="item").collect()
+    }
+    assert a == b
+
+
+def test_geometry_validation(spark, hits):
+    with pytest.raises(ValueError):
+        cms_partials(hits, "1d", item_col="item", d=0)
+    with pytest.raises(ValueError):
+        cms_partials(hits, "1d", item_col="item", w=1)
