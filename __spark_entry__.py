@@ -280,6 +280,43 @@ def q_distinct_rerolled_1d(spark, sf_dir):
     return d1.select("event_type", "bucket_start", "n_distinct")
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort-retention triangle (operators/cohort.py): cohort = day of a
+    user's first event; count distinct cohort users active each offset
+    day, plus cohort size and the one-IEEE-division retention rate."""
+    from rasusa_spark.operators.cohort import cohort_retention
+
+    ev = _load(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase within 7 days of the first
+    view (operators/cohort.py:funnel): greedy earliest-completion parse,
+    strictly-increasing timestamps; oracle re-derives the same chained
+    min-aggregation CTEs."""
+    from rasusa_spark.operators.cohort import funnel
+
+    ev = _load(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], within="7 days")
+
+
+def q_rollup_anomaly_1h(spark, sf_dir):
+    """Rolling z-score anomaly flags over the hourly tier
+    (operators/timeseries.py:rollup_anomaly): integer n/Σv/Σv² over the
+    previous 24 buckets, pinned float pipeline, |z| > 3 flags; < 12
+    history buckets emit null z."""
+    from rasusa_spark.operators.rollup import rollup
+    from rasusa_spark.operators.timeseries import rollup_anomaly
+
+    ev = _events_cents(spark, sf_dir)
+    r = rollup(ev, "1h", group_cols=("event_type",))
+    return rollup_anomaly(
+        r.select("event_type", "bucket_start", "n_tok_sum"),
+        group_cols=("event_type",),
+    )
+
+
 def q_cms_user_counts_1d(spark, sf_dir):
     """Count-min sketch tier (functions/cms.py): hourly d=4 x w=256
     sketches of per-(event_type, bucket) user activity, re-rolled to daily
@@ -947,6 +984,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample": q_lttb_downsample,
         "distinct_rerolled_1d": q_distinct_rerolled_1d,
         "cms_user_counts_1d": q_cms_user_counts_1d,
+        "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
+        "rollup_anomaly_1h": q_rollup_anomaly_1h,
         "sessionize": q_sessionize,
         "counter_increase_1d": q_counter_increase_1d,
         "time_weighted_avg_1h": q_time_weighted_avg_1h,
@@ -1350,6 +1390,67 @@ SELECT event_type, {_tb_sql(1800)} AS bucket_start,
 FROM ev GROUP BY 1, 2
 """,
         "lttb_downsample": _lttb_oracle_sql(20),
+        "cohort_retention": """
+WITH act AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
+             FROM events),
+f AS (SELECT u, min(day) AS cohort_day FROM act GROUP BY u),
+sz AS (SELECT cohort_day, count(DISTINCT u) AS cohort_size FROM f GROUP BY 1),
+r AS (SELECT f.cohort_day,
+             date_diff('day', f.cohort_day, a.day) AS day_offset,
+             count(DISTINCT a.u) AS n_users
+      FROM act a JOIN f ON a.u = f.u GROUP BY 1, 2)
+SELECT r.cohort_day, CAST(r.day_offset AS INT) AS day_offset,
+       CAST(r.n_users AS BIGINT) AS n_users,
+       CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+       CAST(r.n_users AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE)
+           AS retention_rate
+FROM r JOIN sz USING (cohort_day)
+""",
+        "funnel": """
+WITH s0 AS (SELECT user_id AS u, min(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s1 AS (SELECT e.user_id AS u, s0.t0, min(e.ts) AS t1
+       FROM events e JOIN s0 ON e.user_id = s0.u
+       WHERE e.event_type = 'click' AND e.ts > s0.t0
+         AND e.ts <= s0.t0 + INTERVAL '7 days' GROUP BY 1, 2),
+s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2
+       FROM events e JOIN s1 ON e.user_id = s1.u
+       WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+         AND e.ts <= s1.t0 + INTERVAL '7 days' GROUP BY 1),
+c AS (SELECT 0 AS step_idx, 'view' AS step, count(DISTINCT u) AS n FROM s0
+      UNION ALL
+      SELECT 1, 'click', count(DISTINCT u) FROM s1
+      UNION ALL
+      SELECT 2, 'purchase', count(DISTINCT u) FROM s2)
+SELECT step_idx, step, CAST(n AS BIGINT) AS n_users,
+       CASE WHEN (SELECT max(CASE WHEN step_idx = 0 THEN n END) FROM c) > 0
+            THEN CAST(n AS DOUBLE) /
+                 (SELECT CAST(max(CASE WHEN step_idx = 0 THEN n END)
+                              AS DOUBLE) FROM c)
+       END AS conversion_rate
+FROM c
+""",
+        "rollup_anomaly_1h": f"""
+WITH ev AS ({_EV_CENTS}),
+r AS (SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+             CAST(sum(n_tok) AS BIGINT) AS n_tok_sum
+      FROM ev GROUP BY 1, 2),
+w AS (SELECT *, count(n_tok_sum) OVER fr AS n,
+             CAST(sum(n_tok_sum) OVER fr AS BIGINT) AS s1,
+             CAST(sum(n_tok_sum * n_tok_sum) OVER fr AS BIGINT) AS s2
+      FROM r
+      WINDOW fr AS (PARTITION BY event_type ORDER BY bucket_start
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+m AS (SELECT *, CAST(s1 AS DOUBLE) / n AS mean FROM w),
+v AS (SELECT *, (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * mean) / (n - 1)
+                AS var FROM m),
+z AS (SELECT *, CASE WHEN n < 12 OR var <= 0 THEN NULL
+                     ELSE (CAST(n_tok_sum AS DOUBLE) - mean) / sqrt(var)
+                END AS z FROM v)
+SELECT event_type, bucket_start, n_tok_sum, CAST(n AS BIGINT) AS n_history,
+       z, CASE WHEN abs(z) > 3.0 THEN true ELSE false END AS is_anomaly
+FROM z
+""",
         "cms_user_counts_1d": """
 WITH rs AS (SELECT unnest([0,1,2,3]) AS r),
 cells AS (

@@ -53,6 +53,9 @@ HEADLINE = [
     "vocab_stats",
     "lttb_downsample",
     "distinct_rerolled_1d",
+    "sessionize",
+    "counter_increase_1d",
+    "cms_user_counts_1d",
 ]
 
 

@@ -682,3 +682,64 @@ def time_weighted_avg(
         .alias("twa"),
         "n_samples",
     )
+
+
+def rollup_anomaly(
+    rollup: DataFrame,
+    *,
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    bucket_col: str = "bucket_start",
+    value_col: str = "n_tok_sum",
+    trailing: int = 24,
+    min_history: int = 12,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flags over an already-rolled-up tier: for
+    each (group, bucket) compare the bucket's value against the mean/std
+    of the PREVIOUS ``trailing`` buckets (current excluded — no
+    self-masking), flagging |z| > ``z_cut``. Buckets with fewer than
+    ``min_history`` predecessors emit a null z (insufficient baseline).
+
+    Cross-engine exactness (same discipline as time_weighted_avg): the
+    window carries INTEGER sums only — n, Σv, Σv² are exact int64 over
+    ≤ ``trailing`` bigint values — and the float pipeline is a pinned
+    operand order: mean = CAST(Σv)/n; var = (CAST(Σv²) − CAST(Σv)·mean) /
+    (n−1) (the textbook shortcut, fine here because the history is tiny
+    and integer-exact); z = (v − mean)/sqrt(var); zero-variance history →
+    z = null. Every division/sqrt is one IEEE op identical in DuckDB.
+
+    Scale shape: ONE window over the aggregate tier (rows = buckets, not
+    raw data) — a (group)-keyed shuffle of the already-small rollup; the
+    raw table is never touched. int64 bound: trailing · v_max² < 2⁶³ →
+    v_max ≈ 6·10⁸ at trailing=24 — far above any cents-scale hourly sum.
+    """
+    wd = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(-trailing, -1)
+    )
+    v = F.col(value_col).cast("long")
+    n = F.count(v).over(wd)
+    s1 = F.sum(v).over(wd)
+    s2 = F.sum(v * v).over(wd)
+    mean = s1.cast("double") / n.cast("double")
+    var = (s2.cast("double") - s1.cast("double") * mean) / (
+        (n - 1).cast("double")
+    )
+    z = (v.cast("double") - mean) / F.sqrt(var)
+    out = rollup.withColumn("_n", n).withColumn(
+        "z",
+        F.when((F.col("_n") < min_history) | (var <= 0), F.lit(None)).otherwise(
+            z
+        ),
+    )
+    return out.select(
+        *group_cols,
+        bucket_col,
+        value_col,
+        F.col("_n").alias("n_history"),
+        "z",
+        F.when(F.abs(F.col("z")) > z_cut, F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
