@@ -280,6 +280,19 @@ def q_distinct_rerolled_1d(spark, sf_dir):
     return d1.select("event_type", "bucket_start", "n_distinct")
 
 
+def q_rollup_sliding_1h15m(spark, sf_dir):
+    """Sliding-window tier (operators/timeseries.py:rollup_sliding): 1-hour
+    windows hopping every 15 minutes via Spark's built-in F.window — each
+    row lands in exactly 4 epoch-aligned windows JVM-side; the oracle
+    unnests the k = 0..3 window-start formula, integer-exact."""
+    from rasusa_spark.operators.timeseries import rollup_sliding
+
+    ev = _events_cents(spark, sf_dir)
+    return rollup_sliding(
+        ev, 3600, 900, group_cols=("event_type",), value_col="n_tok"
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     """Cohort-retention triangle (operators/cohort.py): cohort = day of a
     user's first event; count distinct cohort users active each offset
@@ -984,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample": q_lttb_downsample,
         "distinct_rerolled_1d": q_distinct_rerolled_1d,
         "cms_user_counts_1d": q_cms_user_counts_1d,
+        "rollup_sliding_1h15m": q_rollup_sliding_1h15m,
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
         "rollup_anomaly_1h": q_rollup_anomaly_1h,
@@ -1390,6 +1404,21 @@ SELECT event_type, {_tb_sql(1800)} AS bucket_start,
 FROM ev GROUP BY 1, 2
 """,
         "lttb_downsample": _lttb_oracle_sql(20),
+        "rollup_sliding_1h15m": f"""
+WITH ev AS ({_EV_CENTS}),
+k AS (SELECT unnest([0, 1, 2, 3]) AS k),
+x AS (SELECT event_type, n_tok,
+             make_timestamp(((epoch_us(ts) // 900000000) * 900000000)
+                            - CAST(k.k AS BIGINT) * 900000000) AS window_start
+      FROM ev CROSS JOIN k)
+SELECT event_type, window_start,
+       window_start + INTERVAL '3600 seconds' AS window_end,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+       count(*) AS row_count,
+       min(n_tok) AS n_tok_min,
+       max(n_tok) AS n_tok_max
+FROM x GROUP BY 1, 2
+""",
         "cohort_retention": """
 WITH act AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
              FROM events),

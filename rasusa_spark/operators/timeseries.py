@@ -743,3 +743,52 @@ def rollup_anomaly(
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+def rollup_sliding(
+    df: DataFrame,
+    width_s: int,
+    slide_s: int,
+    *,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Sliding (hopping) window aggregate — the moving-average tier
+    ``date_trunc``/``time_bucket`` can't express: every ``slide_s`` seconds
+    emit the aggregate of the trailing ``width_s`` window. This is Spark's
+    built-in ``F.window(ts, width, slide)`` (epoch-aligned window starts,
+    identical batch and Structured Streaming semantics): each row lands in
+    exactly ``width/slide`` windows, assigned JVM-side — no self-join, no
+    range join; the one shuffle is the (group, window) groupBy, with
+    map-side partials exactly like every fixed-width tier.
+
+    ``width_s`` must be a positive multiple of ``slide_s`` (the windows
+    containing a row are then ``floor(ts/slide)*slide - k*slide`` for
+    k = 0..width/slide-1 — the formula the DuckDB oracle unnests, making
+    the result integer-exact cross-engine)."""
+    if slide_s <= 0 or width_s <= 0 or width_s % slide_s:
+        raise ValueError(
+            f"width_s ({width_s}) must be a positive multiple of slide_s "
+            f"({slide_s})"
+        )
+    w = F.window(F.col(ts_col), f"{width_s} seconds", f"{slide_s} seconds")
+    v = F.col(value_col).cast("long")
+    return (
+        df.groupBy(*group_cols, w.alias("_w"))
+        .agg(
+            F.sum(v).alias("n_tok_sum"),
+            F.count(F.lit(1)).alias("row_count"),
+            F.min(value_col).alias("n_tok_min"),
+            F.max(value_col).alias("n_tok_max"),
+        )
+        .select(
+            *group_cols,
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "n_tok_sum",
+            "row_count",
+            "n_tok_min",
+            "n_tok_max",
+        )
+    )

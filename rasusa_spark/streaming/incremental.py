@@ -232,3 +232,70 @@ def streaming_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def merge_distinct_increment(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    state_path: str,
+    tier: str = "1h",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    id_col: str = "doc_id",
+    allow_late: bool = False,
+) -> DataFrame:
+    """O(delta) incremental maintenance of the EXACT distinct-count tier
+    (functions/distinct.py): the per-bucket sorted distinct id array is the
+    mergeable state, and set union (flatten + distinct + sort) is the
+    exactly associative/commutative/IDEMPOTENT merge — so re-delivered rows
+    (at-least-once upstream) cannot inflate the count, unlike the sum tier.
+    Batch ≡ incremental bit-for-bit (identical SETS, pinned in pytest)."""
+    from ..functions.distinct import distinct_partials
+
+    group_cols = list(group_cols)
+    inc = distinct_partials(new_rows, tier, group_cols=group_cols, id_col=id_col)
+
+    def remerge(union: DataFrame) -> DataFrame:
+        return (
+            union.groupBy(*group_cols, "bucket_start")
+            .agg(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("id_set")))
+                ).alias("id_set")
+            )
+            .withColumn("n_distinct", F.size("id_set").cast("long"))
+        )
+
+    return _merge_increment(
+        spark, inc, state_path, f"distinct_{tier}", group_cols, remerge, allow_late
+    )
+
+
+def merge_cms_increment(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    state_path: str,
+    tier: str = "1h",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    item_col: str = "doc_id",
+    allow_late: bool = False,
+) -> DataFrame:
+    """O(delta) incremental maintenance of the COUNT-MIN sketch tier
+    (functions/cms.py): state is the skinny (group, bucket, r, idx, cnt)
+    rows; the merge is cell-wise counter addition — exactly associative,
+    so batch ≡ incremental bit-for-bit and any split of the input across
+    increments lands on the identical sketch (and therefore identical
+    estimates). Same watermark + partition-pruned rewrite machinery; the
+    remerge just groups one level finer (per cell)."""
+    from ..functions.cms import cms_partials
+
+    group_cols = list(group_cols)
+    inc = cms_partials(new_rows, tier, group_cols=group_cols, item_col=item_col)
+
+    def remerge(union: DataFrame) -> DataFrame:
+        return union.groupBy(*group_cols, "bucket_start", "r", "idx").agg(
+            F.sum("cnt").alias("cnt")
+        )
+
+    return _merge_increment(
+        spark, inc, state_path, f"cms_{tier}", group_cols, remerge, allow_late
+    )

@@ -343,3 +343,53 @@ def test_stream_flow_kill_resume(spark, raw4k, tmp_path):
     # run 3: nothing new -> pure no-op (idempotent)
     s3 = flow.run_flow(spark, f"{inp}/*", work, budget)
     assert s3["new_files_merged"] == 0
+
+
+def test_incremental_distinct_merge_equals_batch_and_idempotent(
+    spark, raw4k, tmp_path
+):
+    """Exact distinct tier: two increments == one batch (identical SETS),
+    and re-delivering an already-merged increment (at-least-once upstream)
+    changes nothing — set union is idempotent, the property the sum tier
+    cannot have."""
+    from rasusa_spark.functions.distinct import distinct_partials
+    from rasusa_spark.streaming.incremental import merge_distinct_increment
+
+    state = str(tmp_path / "dstate")
+    first = raw4k.where(F.col("row_idx") < 2000)
+    second = raw4k.where(F.col("row_idx") >= 2000)
+    merge_distinct_increment(spark, first, state, tier="1h")
+    merged = merge_distinct_increment(
+        spark, second, state, tier="1h", allow_late=True
+    )
+    batch = distinct_partials(raw4k, "1h")
+    key = lambda df: sorted(
+        (r.source, r.bucket_start, tuple(r.id_set), r.n_distinct)
+        for r in df.collect()
+    )
+    assert key(merged) == key(batch) and len(key(batch)) > 0
+    # idempotence under redelivery
+    again = merge_distinct_increment(
+        spark, second, state, tier="1h", allow_late=True
+    )
+    assert key(again) == key(batch)
+
+
+def test_incremental_cms_merge_equals_batch(spark, raw4k, tmp_path):
+    """CMS tier: folding two increments lands on the identical sketch
+    cells (cell-wise addition is exactly associative)."""
+    from rasusa_spark.functions.cms import cms_partials
+    from rasusa_spark.streaming.incremental import merge_cms_increment
+
+    state = str(tmp_path / "cstate")
+    first = raw4k.where(F.col("row_idx") < 2000)
+    second = raw4k.where(F.col("row_idx") >= 2000)
+    merge_cms_increment(spark, first, state, tier="1h")
+    merged = merge_cms_increment(
+        spark, second, state, tier="1h", allow_late=True
+    )
+    batch = cms_partials(raw4k, "1h")
+    key = lambda df: sorted(
+        (r.source, r.bucket_start, r.r, r.idx, r.cnt) for r in df.collect()
+    )
+    assert key(merged) == key(batch) and len(key(batch)) > 0

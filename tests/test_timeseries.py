@@ -686,3 +686,39 @@ def test_time_weighted_avg_matches_numpy(spark):
                 num = int((vv[:-1] * np.diff(x)).sum())
                 exp[key] = float(num) / float(int(x[-1] - x[0]))
     assert got == exp
+
+
+def test_rollup_sliding_matches_manual_expansion(spark):
+    from rasusa_spark.operators.timeseries import rollup_sliding
+
+    df = _series_df(spark, n=200, seed=17)
+    got = {
+        (r.source, r.window_start): (
+            r.n_tok_sum, r.row_count, r.n_tok_min, r.n_tok_max, r.window_end,
+        )
+        for r in rollup_sliding(df, 3600, 900, value_col="n_tok").collect()
+    }
+    pdf = df.toPandas()
+    xu = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+    exp = {}
+    for k in range(4):
+        ws = (xu // 900_000_000) * 900_000_000 - k * 900_000_000
+        for i in range(len(pdf)):
+            key = (
+                pdf["source"].iloc[i],
+                np.datetime64(int(ws[i]), "us").astype("datetime64[us]").item(),
+            )
+            exp.setdefault(key, []).append(int(pdf["n_tok"].iloc[i]))
+    import datetime as _dt
+
+    assert set(got) == set(exp)
+    for key, vals in exp.items():
+        s, n, lo, hi, end = got[key]
+        assert (s, n, lo, hi) == (sum(vals), len(vals), min(vals), max(vals))
+        assert end == key[1] + _dt.timedelta(seconds=3600)
+    # every row lands in exactly width/slide windows
+    total_rows = sum(len(v) for v in exp.values())
+    assert total_rows == 4 * len(pdf)
+
+    with pytest.raises(ValueError):
+        rollup_sliding(df, 3600, 700)
