@@ -225,6 +225,60 @@ def main() -> None:
              "-> decontamination) as ONE fused plan", grab(prep))
         )
 
+    # round-4 timeseries/analytics surface
+    from rasusa_spark.functions.cms import (
+        cms_estimate,
+        cms_from_finer,
+        cms_partials,
+    )
+    from rasusa_spark.operators.timeseries import (
+        counter_increase,
+        m4_downsample,
+        rollup_sliding,
+        sessionize,
+        time_weighted_avg,
+    )
+
+    sections.append(
+        ("sessionize (built-in session_window: ONE user-keyed exchange, "
+         "partial+final session merge inside the aggregate)",
+         grab(sessionize(sel, "30 minutes", user_col="source",
+                         value_col="n_tok")))
+    )
+    sections.append(
+        ("sliding-window rollup (F.window width=1h slide=15m: window "
+         "assignment is a JVM explode projection feeding ONE combinable "
+         "groupBy — no self-join, no range join)",
+         grab(rollup_sliding(sel, 3600, 900)))
+    )
+    sections.append(
+        ("M4 visual downsampling (one partial+final HashAggregate; "
+         "first/last as struct min/max — no window, no sort)",
+         grab(m4_downsample(sel, 1800, ts_col="ts", value_col="n_tok")))
+    )
+    sections.append(
+        ("counter increase (one series-keyed window sort + one combinable "
+         "(series, bucket) groupBy)",
+         grab(counter_increase(sel, 3600, series_cols=("source",),
+                               id_col="doc_id")))
+    )
+    sections.append(
+        ("time-weighted average (one (series, bucket)-keyed window + "
+         "combinable groupBy; integer-micros segments)",
+         grab(time_weighted_avg(sel, 3600, series_cols=("source",),
+                                id_col="doc_id")))
+    )
+    h1 = cms_partials(sel, "1h", item_col="doc_id")
+    d1 = cms_from_finer(h1, "1d")
+    cand = spark.range(0, 50).withColumnRenamed("id", "item")
+    sections.append(
+        ("CMS tier: build = inline + ONE combinable groupBy; cascade = "
+         "combinable groupBy-sum over skinny state; estimate = broadcast "
+         "probe grid LEFT JOIN + min-of-d (candidate side explicitly "
+         "broadcast — state side never re-shuffled wide)",
+         grab(cms_estimate(d1, cand, item_col="item")))
+    )
+
     out = ["# PLANS — physical-plan audit (auto-generated by scripts/explain_audit.py)",
            "",
            "What to look for: `ReadSchema` never includes `tokens` on selection",
