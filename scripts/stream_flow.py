@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """End-to-end streaming ingestion flow (VERDICT r3 #9): file-source
 Structured Stream → per-(source, bucket) stateful budget cap →
-O(delta) incremental tier merges (1h sum tier + 1h histogram sketch tier
-+ 1d sum tier), resumable at BOTH levels:
+O(delta) incremental tier merges (1h sum + 1h histogram sketch + 1h
+exact-distinct + 1h CMS frequency tiers, and the 1d sum tier), resumable
+at BOTH levels:
 
 - the STREAM resumes from its Structured Streaming checkpoint
   (``<work>/ck_budget``): a killed/restarted run re-processes no input
@@ -83,6 +84,8 @@ def run_flow(
     resumable, see module docstring). Returns counters for observability."""
     from rasusa_spark.streaming.incremental import (
         _read_parquet_or_none,
+        merge_cms_increment,
+        merge_distinct_increment,
         merge_histogram_increment,
         merge_rollup_increment,
     )
@@ -122,6 +125,14 @@ def run_flow(
         )
         merge_histogram_increment(spark, delta, state, tier="1h", allow_late=True)
         merge_rollup_increment(spark, delta, state, tier="1d", allow_late=True)
+        # round-4 carriers: exact distinct sets (idempotent under file
+        # redelivery) and the CMS frequency sketch — same O(delta) merges
+        merge_distinct_increment(
+            spark, delta, state, tier="1h", id_col="doc_id", allow_late=True
+        )
+        merge_cms_increment(
+            spark, delta, state, tier="1h", item_col="doc_id", allow_late=True
+        )
         merged_buckets = merged.count()
         spark.createDataFrame(
             [(f,) for f in all_files], "path string"

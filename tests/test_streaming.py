@@ -393,3 +393,38 @@ def test_incremental_cms_merge_equals_batch(spark, raw4k, tmp_path):
         (r.source, r.bucket_start, r.r, r.idx, r.cnt) for r in df.collect()
     )
     assert key(merged) == key(batch) and len(key(batch)) > 0
+
+
+def test_stream_flow_distinct_and_cms_tiers(spark, raw4k, tmp_path):
+    """The round-4 carriers ride the same flow: after two incremental
+    runs, the stored distinct_1h and cms_1h states equal direct
+    re-aggregation of the retained set (set union idempotent; cell-wise
+    addition associative)."""
+    import scripts.stream_flow as flow
+    from rasusa_spark.functions.cms import cms_partials
+    from rasusa_spark.functions.distinct import distinct_partials
+
+    inp = str(tmp_path / "in")
+    work = str(tmp_path / "wk")
+    budget = 60_000
+    raw = raw4k.drop("tokens") if "tokens" in raw4k.columns else raw4k
+    raw.where(F.col("row_idx") < 2000).coalesce(1).write.parquet(f"{inp}/a")
+    flow.run_flow(spark, f"{inp}/*", work, budget)
+    raw.where(F.col("row_idx") >= 2000).coalesce(1).write.parquet(f"{inp}/b")
+    flow.run_flow(spark, f"{inp}/*", work, budget)
+
+    retained = spark.read.parquet(f"{work}/retained")
+    stored_d = spark.read.parquet(f"{work}/state/distinct_1h").drop("bucket_part")
+    direct_d = distinct_partials(retained, "1h", id_col="doc_id")
+    key_d = lambda df: sorted(
+        (r.source, r.bucket_start, tuple(r.id_set), r.n_distinct)
+        for r in df.collect()
+    )
+    assert key_d(stored_d) == key_d(direct_d) and len(key_d(direct_d)) > 0
+
+    stored_c = spark.read.parquet(f"{work}/state/cms_1h").drop("bucket_part")
+    direct_c = cms_partials(retained, "1h", item_col="doc_id")
+    key_c = lambda df: sorted(
+        (r.source, r.bucket_start, r.r, r.idx, r.cnt) for r in df.collect()
+    )
+    assert key_c(stored_c) == key_c(direct_c)
