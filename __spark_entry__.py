@@ -280,6 +280,17 @@ def q_distinct_rerolled_1d(spark, sf_dir):
     return d1.select("event_type", "bucket_start", "n_distinct")
 
 
+def q_event_transitions(spark, sf_dir):
+    """Next-event transition matrix (operators/cohort.py:event_transitions):
+    per-user consecutive (from, to) event-type pairs ordered by (ts,
+    event_id), counts + out-degree-normalized probabilities (one IEEE
+    division)."""
+    from rasusa_spark.operators.cohort import event_transitions
+
+    ev = _load(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
 def q_rollup_sliding_1h15m(spark, sf_dir):
     """Sliding-window tier (operators/timeseries.py:rollup_sliding): 1-hour
     windows hopping every 15 minutes via Spark's built-in F.window — each
@@ -997,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample": q_lttb_downsample,
         "distinct_rerolled_1d": q_distinct_rerolled_1d,
         "cms_user_counts_1d": q_cms_user_counts_1d,
+        "event_transitions": q_event_transitions,
         "rollup_sliding_1h15m": q_rollup_sliding_1h15m,
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
@@ -1404,6 +1416,18 @@ SELECT event_type, {_tb_sql(1800)} AS bucket_start,
 FROM ev GROUP BY 1, 2
 """,
         "lttb_downsample": _lttb_oracle_sql(20),
+        "event_transitions": """
+WITH p AS (SELECT user_id, event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_type
+           FROM events),
+c AS (SELECT from_type, to_type, count(*) AS n FROM p
+      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) /
+       CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM c
+""",
         "rollup_sliding_1h15m": f"""
 WITH ev AS ({_EV_CENTS}),
 k AS (SELECT unnest([0, 1, 2, 3]) AS k),

@@ -151,3 +151,43 @@ def funnel(
             base > 0, F.col("n_users").cast("double") / base.cast("double")
         ).alias("conversion_rate"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Next-event transition matrix (path / Sankey analysis): for every
+    consecutive pair of events per user — ordered by (ts, id), ties broken
+    by the unique id identically in SQL — count (from_type, to_type)
+    occurrences and the transition probability out of ``from_type``
+    (one IEEE division against the integer out-degree).
+
+    Scale shape: ONE user-keyed window (shuffle + in-partition sort) to
+    form pairs, then ONE combinable groupBy on the (from, to) pair —
+    the transition table is |types|² rows no matter the input size."""
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    nxt = F.lead(type_col).over(wd)
+    pairs = (
+        df.select(user_col, ts_col, id_col, F.col(type_col).alias("from_type"),
+                  nxt.alias("to_type"))
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_deg = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(out_deg).cast("double")
+        ).alias("p"),
+    )

@@ -160,3 +160,52 @@ def test_rollup_anomaly_matches_numpy(spark):
             var = (float(s2) - float(s1) * mean) / (n - 1)
             exp = (float(v[i]) - mean) / np.sqrt(var)
             assert got[key] == pytest.approx(exp, rel=1e-12)
+
+
+def test_event_transitions_manual(spark):
+    from rasusa_spark.operators.cohort import event_transitions
+
+    rows = [
+        (1, 1, "a", 0), (1, 2, "b", 10), (1, 3, "a", 20),
+        (2, 4, "a", 0), (2, 5, "a", 5),
+        (3, 6, "b", 0),  # singleton: no transition
+    ]
+    df = spark.createDataFrame(
+        [(u, e, s, T0 + dt.timedelta(seconds=t)) for u, e, s, t in rows],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in event_transitions(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("b", "a"): (1, 1.0),
+        ("a", "a"): (1, 0.5),
+    }
+
+
+def test_event_transitions_probabilities_sum_to_one(spark):
+    from rasusa_spark.operators.cohort import event_transitions
+
+    rng = np.random.default_rng(41)
+    rows = [
+        (int(u), i, ["x", "y", "z"][int(rng.integers(3))],
+         T0 + dt.timedelta(seconds=int(rng.integers(0, 86400))))
+        for i, u in enumerate(rng.integers(0, 30, size=2000))
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    out = event_transitions(df).collect()
+    by_from = {}
+    for r in out:
+        by_from.setdefault(r.from_type, []).append(r.p)
+    for fr, ps in by_from.items():
+        assert abs(sum(ps) - 1.0) < 1e-9
+    total = sum(r.n for r in out)
+    # every user contributes (count-1) transitions
+    import pandas as pd
+
+    cnt = pd.DataFrame(rows, columns=["u", "e", "s", "ts"]).groupby("u").size()
+    assert total == int((cnt - 1).sum())
