@@ -63,12 +63,15 @@ def cms_partials(
     item_col: str = "doc_id",
     d: int = D_ROWS,
     w: int = W_COLS,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-(group, bucket) CMS state as skinny rows (r, idx, cnt): each
     input row increments one cell per sketch row — emitted via a single
     ``inline`` of the d (r, idx) structs, then ONE map-side-combinable
-    groupBy count. Weighted variants pass a pre-aggregated df with a
-    repeat count; here every row has mass 1."""
+    groupBy count. With ``weight_col`` each row adds that integer mass
+    instead of 1 (e.g. item = token, weight = its per-doc count — the
+    pre-aggregated heavy-hitters shape); estimates then bound the weighted
+    total, same one-sided guarantee."""
     if not (1 <= d <= 16):
         raise ValueError(f"d must be in [1,16], got {d}")
     if not (2 <= w <= 65536):
@@ -80,14 +83,20 @@ def cms_partials(
             for r in range(d)
         ]
     )
+    mass = (
+        F.sum(F.col(weight_col).cast("long"))
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
     return (
         df.select(
             *group_cols,
             bucket_expr(tier, ts_col).alias("bucket_start"),
+            *( [F.col(weight_col)] if weight_col is not None else [] ),
             F.inline(cells),
         )
         .groupBy(*group_cols, "bucket_start", "r", "idx")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(mass.alias("cnt"))
     )
 
 

@@ -117,3 +117,23 @@ def test_geometry_validation(spark, hits):
         cms_partials(hits, "1d", item_col="item", d=0)
     with pytest.raises(ValueError):
         cms_partials(hits, "1d", item_col="item", w=1)
+
+
+def test_weighted_mass_equals_exploded(spark, hits):
+    """cms_partials(weight_col=...) over pre-aggregated (item, count) rows
+    must equal the sketch of the exploded raw rows — same cells, same
+    counts (weights are just pre-combined mass)."""
+    from pyspark.sql import functions as F
+
+    raw = cms_partials(hits, "1d", item_col="item")
+    pre = hits.groupBy(
+        "source",
+        F.date_trunc("day", "ts").alias("ts"),
+        "item",
+    ).agg(F.count(F.lit(1)).alias("w"))
+    weighted = cms_partials(
+        pre, "1d", item_col="item", weight_col="w"
+    )
+    a = {_state_key(r): r.cnt for r in raw.collect()}
+    b = {_state_key(r): r.cnt for r in weighted.collect()}
+    assert a == b
