@@ -341,6 +341,56 @@ def q_rollup_anomaly_1h(spark, sf_dir):
     )
 
 
+def q_sessions_per_day(spark, sf_dir):
+    """Composition: sessionize -> daily session rollup (count, events,
+    exact type-7 duration quantiles). Shows the analytics surface composes
+    — sessions are just another input to the tier machinery."""
+    from rasusa_spark.operators.timeseries import sessionize
+
+    ev = _load(spark, sf_dir, "events")
+    s = sessionize(ev, "6 hours", user_col="user_id", ts_col="ts")
+    return s.groupBy(
+        F.date_trunc("day", "session_start").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.round(F.expr("percentile(duration_s, 0.5)"), 6).alias("p50_duration_s"),
+        F.round(F.expr("percentile(duration_s, 0.9)"), 6).alias("p90_duration_s"),
+    )
+
+
+def q_interarrival_quantiles_1d(spark, sf_dir):
+    """Per (event_type, day) inter-arrival gap quantiles: integer-seconds
+    gaps from a (ts, event_id)-ordered series window, exact type-7
+    percentiles (same engine pair as rollup_quantiles_1h). The gap is
+    assigned to the LATER event's bucket; the series' first event has no
+    gap. Quantiles run over integer MILLISECONDS (gap_us div 1000): at
+    micros magnitude (~1e9) the engines' interpolations differ by 1 ulp
+    (~1e-6) and p50's exact k+0.5 values sit ON 6-decimal round-tie
+    boundaries — ms magnitude (~1e6) puts the ulp at ~1e-10, far from any
+    boundary, so round(,6) hash-matches."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    wd = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(wd)
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp")) - prev
+    ).alias("gap_us")
+    g = ev.select("event_type", "ts", "event_id", gap).where(
+        F.col("gap_us").isNotNull()
+    )
+    g = g.withColumn("gap_ms", F.expr("gap_us div 1000"))
+    return g.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("gap_us_sum"),
+        F.round(F.expr("percentile(gap_ms, 0.5)"), 6).alias("p50_gap_ms"),
+        F.round(F.expr("percentile(gap_ms, 0.9)"), 6).alias("p90_gap_ms"),
+    )
+
+
 def q_cms_user_counts_1d(spark, sf_dir):
     """Count-min sketch tier (functions/cms.py): hourly d=4 x w=256
     sketches of per-(event_type, bucket) user activity, re-rolled to daily
@@ -1007,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample": q_m4_downsample,
         "lttb_downsample": q_lttb_downsample,
         "distinct_rerolled_1d": q_distinct_rerolled_1d,
+        "sessions_per_day": q_sessions_per_day,
+        "interarrival_quantiles_1d": q_interarrival_quantiles_1d,
         "cms_user_counts_1d": q_cms_user_counts_1d,
         "event_transitions": q_event_transitions,
         "rollup_sliding_1h15m": q_rollup_sliding_1h15m,
@@ -1503,6 +1555,40 @@ z AS (SELECT *, CASE WHEN n < 12 OR var <= 0 THEN NULL
 SELECT event_type, bucket_start, n_tok_sum, CAST(n AS BIGINT) AS n_history,
        z, CASE WHEN abs(z) > 3.0 THEN true ELSE false END AS is_anomaly
 FROM z
+""",
+        "sessions_per_day": """
+WITH b AS (SELECT user_id, event_id, ts,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            > INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk
+           FROM events),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM b),
+sess AS (SELECT user_id, sid, min(ts) AS session_start,
+                count(*) AS n_events,
+                (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                    AS duration_s
+         FROM s GROUP BY 1, 2)
+SELECT date_trunc('day', session_start) AS day,
+       count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(quantile_cont(duration_s, 0.5), 6) AS p50_duration_s,
+       round(quantile_cont(duration_s, 0.9), 6) AS p90_duration_s
+FROM sess GROUP BY 1
+""",
+        "interarrival_quantiles_1d": """
+WITH g0 AS (SELECT event_type, ts,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events),
+g AS (SELECT *, gap_us // 1000 AS gap_ms FROM g0 WHERE gap_us IS NOT NULL)
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*) AS n_gaps,
+       CAST(sum(gap_us) AS BIGINT) AS gap_us_sum,
+       round(quantile_cont(gap_ms, 0.5), 6) AS p50_gap_ms,
+       round(quantile_cont(gap_ms, 0.9), 6) AS p90_gap_ms
+FROM g GROUP BY 1, 2
 """,
         "cms_user_counts_1d": """
 WITH rs AS (SELECT unnest([0,1,2,3]) AS r),
