@@ -188,6 +188,32 @@ def q_asof_join_fwd(spark, sf_dir):
     return out.select("event_id", "event_type", "asof_ts", "n_tok_sum")
 
 
+def q_asof_join_nearest(spark, sf_dir):
+    """Nearest ASOF join with tolerance (pandas merge_asof
+    direction='nearest'): both carries over ONE exchange, each side gated
+    by the 90-minute tolerance FIRST, then the closer side wins with ties
+    going backward; distances compare at SECOND granularity
+    (unix_timestamp truncation — the oracle mirrors with epoch_us //
+    1e6). Oracle = two DuckDB ASOF LEFT JOINs + the same gate/pick."""
+    from rasusa_spark.operators.timeseries import asof_join
+
+    ev = _events_cents(spark, sf_dir)
+    h1 = rollup(ev, "1h", group_cols=("event_type",)).where(
+        F.col("row_count") >= 5
+    )
+    out = asof_join(
+        ev.select("event_id", "event_type", "ts"),
+        h1,
+        on="ts",
+        by=("event_type",),
+        right_ts="bucket_start",
+        value_cols=("n_tok_sum",),
+        direction="nearest",
+        tolerance="90 minutes",
+    )
+    return out.select("event_id", "event_type", "asof_ts", "n_tok_sum")
+
+
 def q_gapfill_locf_1h(spark, sf_dir):
     """TimescaleDB locf(): gap buckets carry the last observed n_tok_sum
     forward (window over the already-aggregated table; leading gaps stay
@@ -1051,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_1h": q_gapfill_1h,
         "asof_join": q_asof_join,
         "asof_join_fwd": q_asof_join_fwd,
+        "asof_join_nearest": q_asof_join_nearest,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "rollup_quantiles_1h": q_rollup_quantiles_1h,
         "rollup_15m": q_rollup_15m,
@@ -1418,6 +1445,40 @@ dense AS (SELECT event_type, bucket_start, n_tok_sum FROM r WHERE rc >= 5)
 SELECT e.event_id, e.event_type, d.bucket_start AS asof_ts, d.n_tok_sum
 FROM ev e ASOF LEFT JOIN dense d
   ON e.event_type = d.event_type AND e.ts <= d.bucket_start
+""",
+        "asof_join_nearest": f"""
+WITH ev AS ({_EV_CENTS}),
+r AS (SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+             CAST(sum(n_tok) AS BIGINT) AS n_tok_sum, count(*) AS rc
+      FROM ev GROUP BY 1, 2),
+dense AS (SELECT event_type, bucket_start, n_tok_sum FROM r WHERE rc >= 5),
+bk AS (SELECT e.event_id, e.event_type, e.ts,
+              d.bucket_start AS bts, d.n_tok_sum AS bv
+       FROM ev e ASOF LEFT JOIN dense d
+         ON e.event_type = d.event_type AND e.ts >= d.bucket_start),
+fw AS (SELECT e.event_id, d.bucket_start AS fts, d.n_tok_sum AS fv
+       FROM ev e ASOF LEFT JOIN dense d
+         ON e.event_type = d.event_type AND e.ts <= d.bucket_start),
+j AS (SELECT bk.event_id, bk.event_type, bk.ts,
+             CASE WHEN bk.bts >= bk.ts - INTERVAL '90 minutes'
+                  THEN bk.bts END AS bts,
+             CASE WHEN bk.bts >= bk.ts - INTERVAL '90 minutes'
+                  THEN bk.bv END AS bv,
+             CASE WHEN fw.fts <= bk.ts + INTERVAL '90 minutes'
+                  THEN fw.fts END AS fts,
+             CASE WHEN fw.fts <= bk.ts + INTERVAL '90 minutes'
+                  THEN fw.fv END AS fv
+      FROM bk JOIN fw USING (event_id)),
+p AS (SELECT *,
+             (fts IS NULL OR (bts IS NOT NULL AND
+              (epoch_us(ts) // 1000000 - epoch_us(bts) // 1000000)
+              <= (epoch_us(fts) // 1000000 - epoch_us(ts) // 1000000)))
+             AS use_back
+      FROM j)
+SELECT event_id, event_type,
+       CASE WHEN use_back THEN bts ELSE fts END AS asof_ts,
+       CASE WHEN use_back THEN bv ELSE fv END AS n_tok_sum
+FROM p
 """,
         "gapfill_locf_1h": f"""
 WITH ev AS (SELECT * FROM ({_EV_CENTS}) WHERE event_type = 'click'),
