@@ -234,6 +234,48 @@ def streaming_rollup(
     return writer.start()
 
 
+def streaming_sessionize(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    schema,
+    gap: str = "30 minutes",
+    user_col: str = "source",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Structured Streaming sessionization: the SAME ``F.session_window``
+    aggregate operators/timeseries.sessionize uses in batch, as a
+    watermarked streaming query (append mode — a session emits once its
+    window can no longer grow, i.e. watermark passes session end + gap).
+    Batch ≡ streaming on a drained (availableNow) input is pinned in
+    pytest — the point of building sessionize on the built-in operator
+    instead of a window/lag re-derivation."""
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(input_path)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col(user_col), F.session_window("ts", gap).alias("_sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_sw")
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def merge_distinct_increment(
     spark: SparkSession,
     new_rows: DataFrame,

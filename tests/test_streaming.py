@@ -428,3 +428,48 @@ def test_stream_flow_distinct_and_cms_tiers(spark, raw4k, tmp_path):
         (r.source, r.bucket_start, r.r, r.idx, r.cnt) for r in df.collect()
     )
     assert key_c(stored_c) == key_c(direct_c)
+
+
+def test_streaming_sessionize_equals_batch(spark, raw4k, tmp_path):
+    """session_window in a watermarked availableNow stream emits exactly
+    the batch sessionization of the same input (every session closes once
+    the input drains) — the payoff of building sessionize on the built-in
+    operator: identical semantics in both modes."""
+    from rasusa_spark.operators.timeseries import sessionize
+    from rasusa_spark.streaming.incremental import streaming_sessionize
+
+    inp = str(tmp_path / "sin")
+    raw = raw4k.drop("tokens") if "tokens" in raw4k.columns else raw4k
+    raw.coalesce(2).write.parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    args = (spark, inp, str(tmp_path / "sck"), str(tmp_path / "sout"))
+    kw = dict(gap="30 minutes", user_col="source")
+    streaming_sessionize(*args, schema, **kw).awaitTermination()
+    emitted_1 = spark.read.parquet(str(tmp_path / "sout")).count()
+
+    # append-mode contract: sessions still within the watermark horizon
+    # stay in state. A far-future flush row advances the GLOBAL watermark
+    # on the next drain (same checkpoint — resume), closing every real
+    # session; the flush session itself is filtered out of the compare.
+    import datetime as _dt
+
+    far = spark.createDataFrame(
+        [("zzz_flush", "f0", 0, _dt.datetime(2027, 1, 1), 10**9)],
+        schema="source string, doc_id string, n_tok int, ts timestamp, row_idx long",
+    ).select(*[f.name for f in schema.fields])
+    far.write.mode("append").parquet(inp)
+    streaming_sessionize(*args, schema, **kw).awaitTermination()
+
+    out = spark.read.parquet(str(tmp_path / "sout")).where(
+        F.col("source") != "zzz_flush"
+    )
+    got = sorted(
+        (r.source, r.session_start, r.session_end, r.n_events)
+        for r in out.collect()
+    )
+    want = sorted(
+        (r.source, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(raw, "30 minutes", user_col="source").collect()
+    )
+    assert got == want and len(want) > 0
+    assert emitted_1 < len(want)  # the tail really was held back by the wm
