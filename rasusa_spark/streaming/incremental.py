@@ -234,6 +234,52 @@ def streaming_rollup(
     return writer.start()
 
 
+def streaming_sliding_rollup(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    schema,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Structured Streaming sliding (hopping) window aggregate — the
+    streaming twin of operators/timeseries.rollup_sliding (identical
+    F.window(width, slide) semantics, so batch ≡ streaming on a drained
+    input; pinned in pytest with the same flush-row technique as
+    sessionize)."""
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(input_path)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(*group_cols, F.window("ts", width, slide).alias("_w"))
+        .agg(
+            F.sum(F.col("n_tok").cast("long")).alias("n_tok_sum"),
+            F.count(F.lit(1)).alias("row_count"),
+        )
+        .select(
+            *group_cols,
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "n_tok_sum",
+            "row_count",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_sessionize(
     spark: SparkSession,
     input_path: str,

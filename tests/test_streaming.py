@@ -473,3 +473,41 @@ def test_streaming_sessionize_equals_batch(spark, raw4k, tmp_path):
     )
     assert got == want and len(want) > 0
     assert emitted_1 < len(want)  # the tail really was held back by the wm
+
+
+def test_streaming_sliding_rollup_equals_batch(spark, raw4k, tmp_path):
+    """F.window(width, slide) emits identical hopping windows in streaming
+    (append mode, two drains with a watermark-advancing flush row) and in
+    the batch rollup_sliding operator."""
+    import datetime as _dt
+
+    from rasusa_spark.operators.timeseries import rollup_sliding
+    from rasusa_spark.streaming.incremental import streaming_sliding_rollup
+
+    inp = str(tmp_path / "win")
+    raw = raw4k.drop("tokens") if "tokens" in raw4k.columns else raw4k
+    raw.coalesce(2).write.parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    args = (spark, inp, str(tmp_path / "wck"), str(tmp_path / "wout"))
+    streaming_sliding_rollup(*args, schema).awaitTermination()
+    far = spark.createDataFrame(
+        [("zzz_flush", "f0", 0, _dt.datetime(2027, 1, 1), 10**9)],
+        schema="source string, doc_id string, n_tok int, ts timestamp, row_idx long",
+    ).select(*[f.name for f in schema.fields])
+    far.write.mode("append").parquet(inp)
+    streaming_sliding_rollup(*args, schema).awaitTermination()
+
+    out = spark.read.parquet(str(tmp_path / "wout")).where(
+        F.col("source") != "zzz_flush"
+    )
+    got = sorted(
+        (r.source, r.window_start, r.window_end, r.n_tok_sum, r.row_count)
+        for r in out.collect()
+    )
+    want = sorted(
+        (r.source, r.window_start, r.window_end, r.n_tok_sum, r.row_count)
+        for r in rollup_sliding(raw, 3600, 900).select(
+            "source", "window_start", "window_end", "n_tok_sum", "row_count"
+        ).collect()
+    )
+    assert got == want and len(want) > 0
