@@ -132,3 +132,113 @@ def apply_retention(
 
 def read_retention_log(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "retention"))
+
+
+def apply_tier_retention(
+    spark: SparkSession,
+    state_path: str,
+    *,
+    drop_before: str,
+    fine: str = "1h",
+    coarse: str = "1d",
+    run_id: str = "tier-retention",
+    force: bool = False,
+) -> DataFrame:
+    """Retention for the TIER CASCADE itself (the TimescaleDB
+    retention-policy-on-continuous-aggregates analog): drop FINE-tier
+    bucket-day partitions older than ``drop_before`` once the COARSE tier
+    provably covers them — keep 1h for the hot window, 1d forever.
+
+    Safety contract (mirrors ``apply_retention``):
+
+    - ``drop_before`` must sit ON a coarse-bucket boundary
+      (``date_trunc(coarse, cutoff) == cutoff``) — otherwise a coarse
+      bucket would lose part of its fine history and later re-rolls of
+      the surviving fine rows could silently disagree with the store;
+    - the about-to-drop fine rows are re-rolled to the coarse tier
+      (exactly associative integer aggregates) and anti-joined against
+      the stored coarse tier on ALL aggregate columns: any mismatch —
+      missing coarse bucket, partial fine coverage, drifted values —
+      raises :class:`RetentionError` and deletes nothing;
+    - deletion removes whole ``bucket_part`` (day) partition directories
+      through the Hadoop FileSystem API (day-partitioned stores +
+      coarse-aligned cutoffs mean partitions drop whole, never split);
+    - dropped partitions are appended to ``{state}/tier_retention``.
+
+    Works on the stores written by ``streaming/incremental.py`` merges
+    (hive-partitioned by ``bucket_part`` = yyyyMMdd of bucket_start)."""
+    from ..operators.rollup import rollup_from_finer
+
+    if fine not in TIERS or coarse not in TIERS:
+        raise ValueError(f"unknown tier in ({fine!r}, {coarse!r})")
+    fine_path = os.path.join(state_path, f"rollup_{fine}")
+    coarse_path = os.path.join(state_path, f"rollup_{coarse}")
+    cutoff = F.to_timestamp(F.lit(drop_before))
+
+    aligned = spark.range(1).select(
+        (F.date_trunc(TIERS[coarse], cutoff) == cutoff).alias("ok")
+    ).first().ok
+    if not aligned:
+        raise ValueError(
+            f"drop_before {drop_before!r} is not aligned to a {coarse} "
+            "bucket boundary — a coarse bucket would lose part of its "
+            "fine history"
+        )
+
+    fine_df = spark.read.parquet(fine_path)
+    doomed = fine_df.where(F.col("bucket_start") < cutoff)
+    parts = (
+        doomed.groupBy("bucket_part")
+        .agg(
+            F.count(F.lit(1)).alias("rows_dropped"),
+            F.sum("n_tok_sum").alias("n_tok_dropped"),
+        )
+        .collect()
+    )
+    if not parts:
+        return spark.createDataFrame([], RETENTION_SCHEMA)
+
+    if not force:
+        stored = spark.read.parquet(coarse_path).where(~F.col("gap_filled"))
+        fresh = rollup_from_finer(doomed, coarse, group_cols=("source",))
+        uncovered = fresh.join(
+            stored,
+            on=[
+                "source", "bucket_start", "n_tok_sum", "row_count",
+                "n_tok_min", "n_tok_max",
+            ],
+            how="left_anti",
+        )
+        missing = uncovered.select("source", "bucket_start").limit(5).collect()
+        if missing:
+            raise RetentionError(
+                f"rollup_{coarse} does not cover the {fine} drop span "
+                f"bit-for-bit; first uncovered: "
+                f"{[(r.source, str(r.bucket_start)) for r in missing]} — "
+                "nothing was deleted"
+            )
+
+    fs, _ = _hadoop_fs(spark, fine_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    for r in parts:
+        fs.delete(
+            jvm_path(os.path.join(fine_path, f"bucket_part={r.bucket_part}")),
+            True,
+        )
+
+    log_rows = [
+        (
+            run_id,
+            f"bucket_part={r.bucket_part}",
+            None,
+            r.rows_dropped,
+            r.n_tok_dropped,
+            fine,
+        )
+        for r in parts
+    ]
+    log_df = spark.createDataFrame(log_rows, RETENTION_SCHEMA)
+    log_df.write.mode("append").parquet(
+        os.path.join(state_path, "tier_retention")
+    )
+    return log_df

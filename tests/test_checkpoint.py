@@ -228,3 +228,91 @@ def test_retention_noop_before_first_bucket(spark, raw2k, tmp_path):
         checkpoint_path=ck,
     )
     assert log.count() == 0
+
+
+def test_tier_retention_drops_covered_fine_partitions(spark, raw2k, tmp_path):
+    """1h partitions older than a day-aligned cutoff drop once the 1d
+    store covers them bit-for-bit; the 1d store and the surviving 1h tail
+    are untouched; the drop is logged; the totals story stays intact:
+    surviving-1h + dropped-log == 1d total."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rasusa_spark.plans.retention import (
+        RetentionError,
+        apply_tier_retention,
+    )
+    from rasusa_spark.streaming.incremental import merge_rollup_increment
+
+    state = str(tmp_path / "tstate")
+    merge_rollup_increment(spark, raw2k, state, tier="1h")
+    merge_rollup_increment(spark, raw2k, state, tier="1d", allow_late=True)
+
+    h1 = spark.read.parquet(f"{state}/rollup_1h")
+    days = sorted(
+        str(r.bucket_part)
+        for r in h1.select("bucket_part").distinct().collect()
+    )
+    assert len(days) >= 3
+    cut_day = days[2]
+    cutoff = f"{cut_day[:4]}-{cut_day[4:6]}-{cut_day[6:]} 00:00:00"
+    total_1h_before = h1.agg(F.sum("n_tok_sum")).first()[0]
+
+    # unaligned cutoff refused outright
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="aligned"):
+        apply_tier_retention(
+            spark, state, drop_before=f"{cutoff[:11]}07:00:00"
+        )
+
+    log = apply_tier_retention(spark, state, drop_before=cutoff)
+    dropped_days = {r.source.split("=")[1] for r in log.collect()}
+    assert dropped_days == set(days[:2])
+    left = spark.read.parquet(f"{state}/rollup_1h")
+    assert sorted(
+        str(r.bucket_part)
+        for r in left.select("bucket_part").distinct().collect()
+    ) == days[2:]
+    # conservation: surviving fine + logged drops == coarse total
+    dropped_tok = sum(r.n_tok_dropped for r in log.collect())
+    left_tok = left.agg(F.sum("n_tok_sum")).first()[0]
+    d1_tok = (
+        spark.read.parquet(f"{state}/rollup_1d").agg(F.sum("n_tok_sum")).first()[0]
+    )
+    assert left_tok + dropped_tok == total_1h_before == d1_tok
+    # idempotent: nothing left below the cutoff
+    again = apply_tier_retention(spark, state, drop_before=cutoff)
+    assert again.count() == 0
+
+
+def test_tier_retention_refuses_uncovered(spark, raw2k, tmp_path):
+    """A 1d store that does NOT cover the fine span (here: built from
+    half the data) refuses the drop and deletes nothing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from rasusa_spark.plans.retention import (
+        RetentionError,
+        apply_tier_retention,
+    )
+    from rasusa_spark.streaming.incremental import merge_rollup_increment
+
+    state = str(tmp_path / "ustate")
+    merge_rollup_increment(spark, raw2k, state, tier="1h")
+    merge_rollup_increment(
+        spark, raw2k.where(F.col("row_idx") < 500), state, tier="1d",
+        allow_late=True,
+    )
+    h1 = spark.read.parquet(f"{state}/rollup_1h")
+    days = sorted(
+        str(r.bucket_part)
+        for r in h1.select("bucket_part").distinct().collect()
+    )
+    cut_day = days[2]
+    cutoff = f"{cut_day[:4]}-{cut_day[4:6]}-{cut_day[6:]} 00:00:00"
+    n_before = h1.count()
+    with _pytest.raises(RetentionError, match="does not cover"):
+        apply_tier_retention(spark, state, drop_before=cutoff)
+    assert spark.read.parquet(f"{state}/rollup_1h").count() == n_before
