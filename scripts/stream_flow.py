@@ -79,6 +79,7 @@ def run_flow(
     budget: int,
     bucket_unit: str = "day",
     max_files_per_trigger: int = 1,
+    drop_fine_before: str | None = None,
 ) -> dict:
     """One drain-and-merge round; safe to call repeatedly (both stages are
     resumable, see module docstring). Returns counters for observability."""
@@ -137,10 +138,22 @@ def run_flow(
         spark.createDataFrame(
             [(f,) for f in all_files], "path string"
         ).coalesce(1).write.mode("overwrite").parquet(manifest_path)
+    # 3. optional tier-cascade retention: drop 1h bucket-day partitions
+    # older than a day-aligned cutoff once the 1d store covers them
+    # bit-for-bit (plans/retention.apply_tier_retention refuses otherwise)
+    tier_dropped = 0
+    if drop_fine_before is not None:
+        from rasusa_spark.plans.retention import apply_tier_retention
+
+        tier_dropped = apply_tier_retention(
+            spark, state, drop_before=drop_fine_before
+        ).count()
+
     return {
         "retained_files": len(all_files),
         "new_files_merged": len(new_files),
         "tier_1h_buckets": merged_buckets,
+        "tier_partitions_dropped": tier_dropped,
     }
 
 
@@ -164,6 +177,12 @@ def main() -> None:
     ap.add_argument("--bucket-unit", default="day")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--max-files-per-trigger", type=int, default=1)
+    ap.add_argument(
+        "--drop-fine-before",
+        default=None,
+        help="day-aligned cutoff: drop 1h tier partitions older than this "
+        "once the 1d store covers them bit-for-bit",
+    )
     args = ap.parse_args()
 
     from rasusa_spark.session import get_spark
@@ -181,11 +200,13 @@ def main() -> None:
         args.budget,
         bucket_unit=args.bucket_unit,
         max_files_per_trigger=args.max_files_per_trigger,
+        drop_fine_before=args.drop_fine_before,
     )
     print(
         f"stream_flow: {stats['new_files_merged']} new retained files merged "
         f"({stats['retained_files']} total), "
-        f"{stats['tier_1h_buckets']} 1h buckets in tier"
+        f"{stats['tier_1h_buckets']} 1h buckets in tier, "
+        f"{stats['tier_partitions_dropped']} fine tier partitions dropped"
     )
     spark.stop()
 

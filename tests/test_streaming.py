@@ -517,3 +517,34 @@ def test_streaming_sliding_rollup_equals_batch(spark, raw4k, tmp_path):
         ).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_stream_flow_tier_retention(spark, raw4k, tmp_path):
+    """run_flow(drop_fine_before=...) drops covered 1h bucket-day
+    partitions at the job level; the 1d store and retained data stay."""
+    import scripts.stream_flow as flow
+
+    inp = str(tmp_path / "rin")
+    work = str(tmp_path / "rwk")
+    raw = raw4k.drop("tokens") if "tokens" in raw4k.columns else raw4k
+    raw.coalesce(1).write.parquet(f"{inp}/a")
+    flow.run_flow(spark, f"{inp}/*", work, 60_000)
+    h1 = spark.read.parquet(f"{work}/state/rollup_1h")
+    days = sorted(
+        str(r.bucket_part)
+        for r in h1.select("bucket_part").distinct().collect()
+    )
+    assert len(days) >= 3
+    cd = days[2]
+    cutoff = f"{cd[:4]}-{cd[4:6]}-{cd[6:]} 00:00:00"
+    stats = flow.run_flow(
+        spark, f"{inp}/*", work, 60_000, drop_fine_before=cutoff
+    )
+    assert stats["tier_partitions_dropped"] == 2
+    left = sorted(
+        str(r.bucket_part)
+        for r in spark.read.parquet(f"{work}/state/rollup_1h")
+        .select("bucket_part").distinct().collect()
+    )
+    assert left == days[2:]
+    assert spark.read.parquet(f"{work}/state/rollup_1d").count() > 0
