@@ -268,6 +268,31 @@ def main() -> None:
          grab(time_weighted_avg(sel, 3600, series_cols=("source",),
                                 id_col="doc_id")))
     )
+    from rasusa_spark.operators.cohort import (
+        cohort_retention,
+        event_transitions,
+        funnel,
+    )
+
+    sections.append(
+        ("cohort retention (distinct activity -> per-user min-day dim -> "
+         "offset counts; no raw self-join)",
+         grab(cohort_retention(sel.withColumnRenamed("doc_id", "u0"),
+                               user_col="source")))
+    )
+    sections.append(
+        ("funnel (k chained per-user min-aggregations over the "
+         "step-filtered skinny table — k user-keyed shuffles over "
+         "shrinking tables, no window over raw events)",
+         grab(funnel(sel.withColumn("event_type", F.col("source")),
+                     ["web", "books"], user_col="doc_id")))
+    )
+    sections.append(
+        ("event transitions (one user-keyed window + one combinable "
+         "groupBy; |types|^2 output)",
+         grab(event_transitions(sel.withColumn("event_type", F.col("source")),
+                                user_col="doc_id", id_col="doc_id")))
+    )
     h1 = cms_partials(sel, "1h", item_col="doc_id")
     d1 = cms_from_finer(h1, "1d")
     cand = spark.range(0, 50).withColumnRenamed("id", "item")
