@@ -242,3 +242,119 @@ def apply_tier_retention(
         os.path.join(state_path, "tier_retention")
     )
     return log_df
+
+
+def apply_sketch_tier_retention(
+    spark: SparkSession,
+    state_path: str,
+    *,
+    drop_before: str,
+    kind: str,
+    fine: str = "1h",
+    coarse: str = "1d",
+    run_id: str = "tier-retention",
+    force: bool = False,
+) -> DataFrame:
+    """Tier-cascade retention for the SKETCH carriers — the same
+    covered-drop contract as :func:`apply_tier_retention`, specialized per
+    mergeable state:
+
+    - ``kind='distinct'``: re-roll the doomed 1h sorted id sets to the
+      coarse tier by set union and anti-join the stored coarse tier on
+      (group, bucket, id_set) — ARRAY equality, so coverage means the
+      coarse store holds the exact union sets, not just equal counts.
+      This is the carrier where retention matters most at 100 TB: the
+      fine-tier per-bucket sets are the large state.
+    - ``kind='cms'``: re-roll by cell-wise addition and anti-join on
+      (group, bucket, r, idx, cnt) — every counter must match.
+
+    The cutoff must sit on a coarse-bucket boundary; refusal deletes
+    nothing; whole ``bucket_part`` day partitions drop via the Hadoop FS;
+    drops append to ``{state}/tier_retention``."""
+    if kind not in ("distinct", "cms"):
+        raise ValueError(f"kind must be 'distinct' or 'cms', got {kind!r}")
+    if fine not in TIERS or coarse not in TIERS:
+        raise ValueError(f"unknown tier in ({fine!r}, {coarse!r})")
+    fine_path = os.path.join(state_path, f"{kind}_{fine}")
+    coarse_path = os.path.join(state_path, f"{kind}_{coarse}")
+    cutoff = F.to_timestamp(F.lit(drop_before))
+
+    aligned = spark.range(1).select(
+        (F.date_trunc(TIERS[coarse], cutoff) == cutoff).alias("ok")
+    ).first().ok
+    if not aligned:
+        raise ValueError(
+            f"drop_before {drop_before!r} is not aligned to a {coarse} "
+            "bucket boundary"
+        )
+
+    fine_df = spark.read.parquet(fine_path)
+    doomed = fine_df.where(F.col("bucket_start") < cutoff)
+    size_expr = (
+        F.sum(F.size("id_set")).alias("n_dropped")
+        if kind == "distinct"
+        else F.sum("cnt").alias("n_dropped")
+    )
+    parts = (
+        doomed.groupBy("bucket_part")
+        .agg(F.count(F.lit(1)).alias("rows_dropped"), size_expr)
+        .collect()
+    )
+    if not parts:
+        return spark.createDataFrame([], RETENTION_SCHEMA)
+
+    if not force:
+        stored = spark.read.parquet(coarse_path)
+        coarse_bucket = F.date_trunc(
+            TIERS[coarse], F.col("bucket_start")
+        ).alias("bucket_start")
+        if kind == "distinct":
+            fresh = (
+                doomed.groupBy("source", coarse_bucket)
+                .agg(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("id_set")))
+                    ).alias("id_set")
+                )
+            )
+            join_cols = ["source", "bucket_start", "id_set"]
+            stored_cmp = stored.select(*join_cols)
+        else:
+            fresh = doomed.groupBy("source", coarse_bucket, "r", "idx").agg(
+                F.sum("cnt").alias("cnt")
+            )
+            join_cols = ["source", "bucket_start", "r", "idx", "cnt"]
+            stored_cmp = stored.select(*join_cols)
+        uncovered = fresh.join(stored_cmp, on=join_cols, how="left_anti")
+        missing = uncovered.select("source", "bucket_start").limit(5).collect()
+        if missing:
+            raise RetentionError(
+                f"{kind}_{coarse} does not cover the {kind}_{fine} drop "
+                f"span exactly; first uncovered: "
+                f"{[(r.source, str(r.bucket_start)) for r in missing]} — "
+                "nothing was deleted"
+            )
+
+    fs, _ = _hadoop_fs(spark, fine_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    for r in parts:
+        fs.delete(
+            jvm_path(os.path.join(fine_path, f"bucket_part={r.bucket_part}")),
+            True,
+        )
+    log_rows = [
+        (
+            run_id,
+            f"bucket_part={r.bucket_part}",
+            None,
+            r.rows_dropped,
+            r.n_dropped,
+            f"{kind}_{fine}",
+        )
+        for r in parts
+    ]
+    log_df = spark.createDataFrame(log_rows, RETENTION_SCHEMA)
+    log_df.write.mode("append").parquet(
+        os.path.join(state_path, "tier_retention")
+    )
+    return log_df

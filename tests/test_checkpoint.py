@@ -316,3 +316,77 @@ def test_tier_retention_refuses_uncovered(spark, raw2k, tmp_path):
     with _pytest.raises(RetentionError, match="does not cover"):
         apply_tier_retention(spark, state, drop_before=cutoff)
     assert spark.read.parquet(f"{state}/rollup_1h").count() == n_before
+
+
+def test_sketch_tier_retention_distinct_and_cms(spark, raw2k, tmp_path):
+    """Cascade retention for the sketch carriers: distinct 1h day
+    partitions drop once the 1d store holds the exact union SETS (array
+    equality); CMS drops on exact cell equality; a counts-only-equal or
+    partial coarse store refuses."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from rasusa_spark.plans.retention import (
+        RetentionError,
+        apply_sketch_tier_retention,
+    )
+    from rasusa_spark.streaming.incremental import (
+        merge_cms_increment,
+        merge_distinct_increment,
+    )
+
+    state = str(tmp_path / "skstate")
+    merge_distinct_increment(spark, raw2k, state, tier="1h")
+    merge_distinct_increment(spark, raw2k, state, tier="1d", allow_late=True)
+    merge_cms_increment(spark, raw2k, state, tier="1h")
+    merge_cms_increment(spark, raw2k, state, tier="1d", allow_late=True)
+
+    h1 = spark.read.parquet(f"{state}/distinct_1h")
+    days = sorted(
+        str(r.bucket_part)
+        for r in h1.select("bucket_part").distinct().collect()
+    )
+    assert len(days) >= 3
+    cd = days[2]
+    cutoff = f"{cd[:4]}-{cd[4:6]}-{cd[6:]} 00:00:00"
+
+    logd = apply_sketch_tier_retention(
+        spark, state, drop_before=cutoff, kind="distinct"
+    )
+    assert {r.source.split("=")[1] for r in logd.collect()} == set(days[:2])
+    left = sorted(
+        str(r.bucket_part)
+        for r in spark.read.parquet(f"{state}/distinct_1h")
+        .select("bucket_part").distinct().collect()
+    )
+    assert left == days[2:]
+
+    logc = apply_sketch_tier_retention(
+        spark, state, drop_before=cutoff, kind="cms"
+    )
+    assert logc.count() == 2
+    # conservation on the CMS carrier: remaining 1h mass + dropped mass
+    # equals the 1d store's mass
+    left_mass = (
+        spark.read.parquet(f"{state}/cms_1h").agg(F.sum("cnt")).first()[0]
+    )
+    dropped_mass = sum(r.n_tok_dropped for r in logc.collect())
+    d1_mass = (
+        spark.read.parquet(f"{state}/cms_1d").agg(F.sum("cnt")).first()[0]
+    )
+    assert left_mass + dropped_mass == d1_mass
+
+    # refusal: a 1d distinct store rebuilt from HALF the data does not
+    # cover the sets -> nothing deleted
+    state2 = str(tmp_path / "skstate2")
+    merge_distinct_increment(spark, raw2k, state2, tier="1h")
+    merge_distinct_increment(
+        spark, raw2k.where(F.col("row_idx") < 500), state2, tier="1d",
+        allow_late=True,
+    )
+    n_before = spark.read.parquet(f"{state2}/distinct_1h").count()
+    with _pytest.raises(RetentionError, match="does not cover"):
+        apply_sketch_tier_retention(
+            spark, state2, drop_before=cutoff, kind="distinct"
+        )
+    assert spark.read.parquet(f"{state2}/distinct_1h").count() == n_before
