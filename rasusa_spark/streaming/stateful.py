@@ -129,3 +129,126 @@ def batch_equivalent_budget(
         .where(F.col("_prev") < budget)
         .drop("_prev")
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming counter rate (round 4)
+# ---------------------------------------------------------------------------
+
+COUNTER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_xu", T.LongType()),
+        T.StructField("last_id", T.LongType()),
+        T.StructField("last_val", T.LongType()),
+    ]
+)
+
+COUNTER_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("inc", T.LongType()),
+        T.StructField("is_reset", T.IntegerType()),
+    ]
+)
+
+
+def _counter_fn():
+    """Per-series reset-aware delta kernel with the last sample carried as
+    state — the streaming twin of operators/timeseries.counter_increase
+    (same pinned contract: (ts, id) order, decrease counts its full value,
+    very first sample of a series contributes 0). Vectorized: one sort +
+    one shift per micro-batch, zero per-row Python.
+
+    Assumes per-series in-order arrival ACROSS micro-batches (scrape/
+    append order — the Prometheus ingestion posture); within a batch any
+    order is fine (sorted here). An out-of-order sample older than the
+    carried state would mis-derive its delta — the batch operator is the
+    tool for unordered backfills."""
+
+    def derive(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_xu, last_id, last_val = (
+            state.get if state.exists else (None, None, None)
+        )
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            xu = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            ids = pdf["event_id"].to_numpy(dtype="int64")
+            order = np.lexsort((ids, xu))
+            pdf = pdf.iloc[order]
+            v = pdf["n_tok"].to_numpy(dtype="int64")
+            prev = np.roll(v, 1)
+            if last_val is None:
+                first_contrib = 0
+                first_reset = 0
+            else:
+                first_contrib = int(v[0]) if v[0] < last_val else int(v[0] - last_val)
+                first_reset = 1 if v[0] < last_val else 0
+            inc = np.where(v < prev, v, v - prev)
+            rst = (v < prev).astype("int32")
+            inc[0] = first_contrib
+            rst[0] = first_reset
+            last_xu = int(xu[order][-1])
+            last_id = int(ids[order][-1])
+            last_val = int(v[-1])
+            yield pd.DataFrame(
+                {
+                    "series": key[0],
+                    "ts": pdf["ts"].to_numpy(),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "inc": inc,
+                    "is_reset": rst,
+                }
+            )
+        if last_val is not None:
+            state.update((last_xu, last_id, last_val))
+
+    return derive
+
+
+def streaming_counter_increase(
+    spark,
+    input_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    schema: T.StructType,
+    series_col: str = "event_type",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """File-source stream → per-series stateful reset-aware deltas →
+    parquet sink of per-sample increases (bucket them downstream with
+    time_bucket/rollup — contributions are integer-exact, so any later
+    aggregation is associative). State per series is ONE (ts, id, value)
+    triple — bounded by series cardinality, the Prometheus-counter memory
+    posture."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(input_path)
+    out = (
+        stream.select(
+            F.col(series_col).alias("series"), "ts", "event_id", "n_tok"
+        )
+        .groupBy("series")
+        .applyInPandasWithState(
+            _counter_fn(),
+            COUNTER_OUT_SCHEMA,
+            COUNTER_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

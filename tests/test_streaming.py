@@ -548,3 +548,74 @@ def test_stream_flow_tier_retention(spark, raw4k, tmp_path):
     )
     assert left == days[2:]
     assert spark.read.parquet(f"{work}/state/rollup_1d").count() > 0
+
+
+def test_streaming_counter_increase_equals_batch(spark, tmp_path):
+    """Per-series stateful reset-aware deltas across micro-batches: with
+    in-order (scrape-order) arrival, the streamed per-sample increases
+    bucket-aggregate to exactly the batch counter_increase result —
+    including deltas that SPAN the micro-batch boundary (carried state)."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from rasusa_spark.operators.timeseries import (
+        counter_increase,
+        time_bucket_expr,
+    )
+    from rasusa_spark.streaming.stateful import streaming_counter_increase
+
+    rng = np.random.default_rng(19)
+    t0 = _dt.datetime(2026, 6, 1)
+    rows = []
+    eid = 0
+    for s in ("a", "b", "c"):
+        t = 0
+        for _ in range(400):
+            t += int(rng.integers(10, 600))
+            rows.append((s, eid, t0 + _dt.timedelta(seconds=t),
+                         int(rng.integers(0, 5000))))
+            eid += 1
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("n_tok", T.IntegerType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    cut = t0 + _dt.timedelta(seconds=40_000)
+    inp = str(tmp_path / "cin")
+    df.where(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(f"{inp}/a")
+    df.where(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(f"{inp}/b")
+
+    q = streaming_counter_increase(
+        spark, f"{inp}/*", str(tmp_path / "cck"), str(tmp_path / "cout"),
+        schema, series_col="event_type", max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    streamed = (
+        spark.read.parquet(str(tmp_path / "cout"))
+        .groupBy(
+            F.col("series").alias("event_type"),
+            time_bucket_expr(3600, "ts").alias("bucket_start"),
+        )
+        .agg(
+            F.sum("inc").alias("increase"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("is_reset").alias("n_resets"),
+        )
+    )
+    batch = counter_increase(
+        df, 3600, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    )
+    key = lambda d: sorted(
+        (r.event_type, r.bucket_start, r.increase, r.n_samples, r.n_resets)
+        for r in d.collect()
+    )
+    assert key(streamed) == key(batch.select(
+        "event_type", "bucket_start", "increase", "n_samples", "n_resets"
+    )) and len(key(batch)) > 0
