@@ -252,3 +252,129 @@ def streaming_counter_increase(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+TWA_STATE_SCHEMA = COUNTER_STATE_SCHEMA  # same (last_xu, last_id, last_val)
+
+TWA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("val", T.LongType()),
+        # segment COMPLETED by this sample's arrival: prev value held for
+        # (this_xu - prev_xu) micros, assigned to the PREDECESSOR's bucket
+        # (batch twa integrates within-bucket pairs only; cross-bucket
+        # pairs contribute nothing there, so seg_bucket != own bucket rows
+        # carry seg = 0 and exist only for the sample itself)
+        T.StructField("seg_bucket_xu", T.LongType()),
+        T.StructField("seg", T.LongType()),
+        T.StructField("gap", T.LongType()),
+    ]
+)
+
+
+def _twa_fn(width_us: int, origin_us: int):
+    """Streaming twin of operators/timeseries.time_weighted_avg: per
+    series carry the last (ts, id, value); each arriving sample completes
+    the segment ``prev_val * (xu - prev_xu)`` and emits it against the
+    predecessor's bucket IF both samples share that bucket (the batch
+    LOCF integral runs first→last sample WITHIN a bucket — cross-bucket
+    pairs contribute nothing). Vectorized per micro-batch."""
+
+    def derive(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_xu, last_id, last_val = (
+            state.get if state.exists else (None, None, None)
+        )
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            xu0 = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            ids0 = pdf["event_id"].to_numpy(dtype="int64")
+            order = np.lexsort((ids0, xu0))
+            pdf = pdf.iloc[order]
+            xu = xu0[order]
+            v = pdf["n_tok"].to_numpy(dtype="int64")
+            bk = origin_us + ((xu - origin_us) // width_us) * width_us
+            # predecessor arrays (first row's predecessor is the state)
+            pxu = np.roll(xu, 1)
+            pv = np.roll(v, 1)
+            pbk = np.roll(bk, 1)
+            if last_val is not None:
+                pxu[0] = last_xu
+                pv[0] = last_val
+                pbk[0] = origin_us + ((last_xu - origin_us) // width_us) * width_us
+                has_prev = np.ones(len(v), dtype=bool)
+            else:
+                has_prev = np.ones(len(v), dtype=bool)
+                has_prev[0] = False
+            same = has_prev & (pbk == bk)
+            seg = np.where(same, pv * (xu - pxu), 0)
+            gap = np.where(same, xu - pxu, 0)
+            yield pd.DataFrame(
+                {
+                    "series": key[0],
+                    "ts": pdf["ts"].to_numpy(),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "val": v,
+                    "seg_bucket_xu": np.where(same, pbk, bk),
+                    "seg": seg,
+                    "gap": gap,
+                }
+            )
+            last_xu = int(xu[-1])
+            last_id = int(ids0[order][-1])
+            last_val = int(v[-1])
+        if last_val is not None:
+            state.update((last_xu, last_id, last_val))
+
+    return derive
+
+
+def streaming_twa(
+    spark,
+    input_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    schema: T.StructType,
+    width_s: int = 3600,
+    series_col: str = "event_type",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """File-source stream → per-series segment emission → parquet sink.
+    Aggregate downstream per (series, bucket): num = Σ seg, den = Σ gap
+    (== last_xu − first_xu within the bucket for in-order arrival), twa =
+    num/den with the den-0 → first-value fallback — exactly the batch
+    formula (parity pinned in pytest). Same in-order-per-series contract
+    as streaming_counter_increase."""
+    from ..operators.timeseries import TIME_BUCKET_ORIGIN_S
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(input_path)
+    out = (
+        stream.select(
+            F.col(series_col).alias("series"), "ts", "event_id", "n_tok"
+        )
+        .groupBy("series")
+        .applyInPandasWithState(
+            _twa_fn(width_s * 1_000_000, TIME_BUCKET_ORIGIN_S * 1_000_000),
+            TWA_OUT_SCHEMA,
+            TWA_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -619,3 +619,85 @@ def test_streaming_counter_increase_equals_batch(spark, tmp_path):
     assert key(streamed) == key(batch.select(
         "event_type", "bucket_start", "increase", "n_samples", "n_resets"
     )) and len(key(batch)) > 0
+
+
+def test_streaming_twa_equals_batch(spark, tmp_path):
+    """Streamed LOCF segments aggregate to the exact batch
+    time_weighted_avg per (series, hour bucket), including segments whose
+    completing sample arrives in a later micro-batch."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from rasusa_spark.operators.timeseries import (
+        time_bucket_expr,
+        time_weighted_avg,
+    )
+    from rasusa_spark.streaming.stateful import streaming_twa
+
+    rng = np.random.default_rng(29)
+    t0 = _dt.datetime(2026, 7, 6)
+    rows, eid = [], 0
+    for s in ("a", "b"):
+        t = 0
+        for _ in range(300):
+            t += int(rng.integers(10, 900))
+            rows.append((s, eid, t0 + _dt.timedelta(seconds=t),
+                         int(rng.integers(0, 5000))))
+            eid += 1
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("n_tok", T.IntegerType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    cut = t0 + _dt.timedelta(seconds=40_000)
+    inp = str(tmp_path / "tin")
+    df.where(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(f"{inp}/a")
+    df.where(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(f"{inp}/b")
+
+    q = streaming_twa(
+        spark, f"{inp}/*", str(tmp_path / "tck"), str(tmp_path / "tout"),
+        schema, width_s=3600, series_col="event_type",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    raw = spark.read.parquet(str(tmp_path / "tout"))
+    segs = raw.groupBy(
+        "series", F.timestamp_micros(F.col("seg_bucket_xu")).alias("bucket_start")
+    ).agg(F.sum("seg").alias("num"), F.sum("gap").alias("den"))
+    samples = raw.groupBy(
+        "series", time_bucket_expr(3600, "ts").alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min(
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("x"),
+                F.col("event_id").alias("i"),
+                F.col("val").alias("v"),
+            )
+        ).alias("_first"),
+    )
+    streamed = samples.join(segs, on=["series", "bucket_start"], how="left").select(
+        F.col("series").alias("event_type"),
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        F.when(
+            F.coalesce(F.col("den"), F.lit(0)) == 0,
+            F.col("_first.v").cast("double"),
+        )
+        .otherwise(F.col("num").cast("double") / F.col("den").cast("double"))
+        .alias("twa"),
+        "n_samples",
+    )
+    batch = time_weighted_avg(
+        df, 3600, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    )
+    key = lambda d: sorted(
+        (r.event_type, r.bucket_start, r.twa, r.n_samples) for r in d.collect()
+    )
+    assert key(streamed) == key(batch) and len(key(batch)) > 0
