@@ -258,6 +258,24 @@ def q_rollup_15m(spark, sf_dir):
     )
 
 
+def q_gapfill_15m(spark, sf_dir):
+    """Gap-filled 15-minute time_bucket tier (timeseries.gap_fill_bucketed
+    over rollup_bucketed): dense 900-second spine per group, missing
+    buckets zero-filled and flagged — the arbitrary-width twin of
+    gapfill_1h."""
+    from rasusa_spark.operators.timeseries import (
+        gap_fill_bucketed,
+        rollup_bucketed,
+    )
+
+    ev = _events_cents(spark, sf_dir).where(F.col("event_type") == "click")
+    r = rollup_bucketed(ev, 900, group_cols=("event_type",), value_col="n_tok")
+    out = gap_fill_bucketed(r, 900, group_cols=("event_type",))
+    return out.select(
+        "event_type", "bucket_start", "n_tok_sum", "row_count", "gap_filled"
+    )
+
+
 def q_m4_downsample(spark, sf_dir):
     """M4 visual downsampling (Jugel et al., VLDB 2014): per 30-min pixel
     bucket keep min/max/first/last — the error-free line-chart reduction.
@@ -1081,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "rollup_quantiles_1h": q_rollup_quantiles_1h,
         "rollup_15m": q_rollup_15m,
+        "gapfill_15m": q_gapfill_15m,
         "m4_downsample": q_m4_downsample,
         "lttb_downsample": q_lttb_downsample,
         "distinct_rerolled_1d": q_distinct_rerolled_1d,
@@ -1515,6 +1534,23 @@ SELECT event_type, {_tb_sql(900)} AS bucket_start,
        min(n_tok) AS n_tok_min,
        max(n_tok) AS n_tok_max
 FROM ev GROUP BY 1, 2
+""",
+        "gapfill_15m": f"""
+WITH ev AS (SELECT * FROM ({_EV_CENTS}) WHERE event_type = 'click'),
+a AS (SELECT event_type, {_tb_sql(900)} AS bucket_start,
+             CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+             count(*) AS row_count
+      FROM ev GROUP BY 1, 2),
+b AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM a),
+s AS (SELECT 'click' AS event_type,
+             unnest(generate_series(lo, hi, INTERVAL 900 SECOND))
+                 AS bucket_start
+      FROM b)
+SELECT s.event_type, s.bucket_start,
+       coalesce(a.n_tok_sum, 0) AS n_tok_sum,
+       coalesce(a.row_count, 0) AS row_count,
+       a.n_tok_sum IS NULL AS gap_filled
+FROM s LEFT JOIN a USING (event_type, bucket_start)
 """,
         "m4_downsample": f"""
 WITH ev AS ({_EV_CENTS})

@@ -792,3 +792,45 @@ def rollup_sliding(
             "n_tok_max",
         )
     )
+
+
+def gap_fill_bucketed(
+    agg: DataFrame,
+    width_s: int,
+    *,
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    span: tuple[str, str] | None = None,
+) -> DataFrame:
+    """``rollup.gap_fill`` for arbitrary ``time_bucket`` widths: LEFT-join
+    the bucketed aggregate onto a dense per-group spine stepped every
+    ``width_s`` seconds (``sequence`` + ``explode`` — spine rows are
+    groups × buckets, aggregate-sized; the raw table is never touched).
+    Missing buckets emit zero sums/counts, null min/max, and
+    ``gap_filled = true`` — identical contract to the calendar tiers, so
+    locf/linear interpolation (gap_fill_locf) composes on top unchanged."""
+    if width_s <= 0:
+        raise ValueError(f"width_s must be positive, got {width_s}")
+    group_cols = list(group_cols)
+    step = F.expr(f"interval {width_s} seconds")
+    if span is None:
+        bounds = agg.groupBy(*group_cols).agg(
+            F.min("bucket_start").alias("_lo"),
+            F.max("bucket_start").alias("_hi"),
+        )
+    else:
+        lo, hi = span
+        bounds = agg.select(*group_cols).distinct().select(
+            *group_cols,
+            F.to_timestamp(F.lit(lo)).cast("timestamp_ntz").alias("_lo"),
+            F.to_timestamp(F.lit(hi)).cast("timestamp_ntz").alias("_hi"),
+        )
+    spine = bounds.select(
+        *group_cols,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), step)
+        ).alias("bucket_start"),
+    )
+    out = spine.join(agg, on=[*group_cols, "bucket_start"], how="left")
+    return out.withColumn(
+        "gap_filled", F.col("n_tok_sum").isNull()
+    ).na.fill(0, ["n_tok_sum", "row_count"])

@@ -722,3 +722,34 @@ def test_rollup_sliding_matches_manual_expansion(spark):
 
     with pytest.raises(ValueError):
         rollup_sliding(df, 3600, 700)
+
+
+def test_gap_fill_bucketed_spine_and_flags(spark):
+    from rasusa_spark.operators.timeseries import (
+        gap_fill_bucketed,
+        rollup_bucketed,
+    )
+
+    # 15-min buckets with a deliberate hole
+    rows = [
+        ("a", 1, T0, 10),
+        ("a", 2, T0 + dt.timedelta(minutes=5), 20),
+        # gap: 00:15 bucket empty
+        ("a", 3, T0 + dt.timedelta(minutes=31), 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, ev long, ts timestamp, n_tok int"
+    )
+    r = rollup_bucketed(df, 900, value_col="n_tok")
+    out = {
+        r_.bucket_start: (r_.n_tok_sum, r_.row_count, r_.gap_filled)
+        for r_ in gap_fill_bucketed(r, 900).collect()
+    }
+    assert out == {
+        T0: (30, 2, False),
+        T0 + dt.timedelta(minutes=15): (0, 0, True),
+        T0 + dt.timedelta(minutes=30): (7, 1, False),
+    }
+
+    with pytest.raises(ValueError):
+        gap_fill_bucketed(r, 0)
