@@ -192,9 +192,10 @@ def q_asof_join_nearest(spark, sf_dir):
     """Nearest ASOF join with tolerance (pandas merge_asof
     direction='nearest'): both carries over ONE exchange, each side gated
     by the 90-minute tolerance FIRST, then the closer side wins with ties
-    going backward; distances compare at SECOND granularity
-    (unix_timestamp truncation — the oracle mirrors with epoch_us //
-    1e6). Oracle = two DuckDB ASOF LEFT JOINs + the same gate/pick."""
+    going backward; distances compare at MICROSECOND granularity
+    (unix_micros — ADVICE r4 closed the old second-truncation; the oracle
+    mirrors with epoch_us). Oracle = two DuckDB ASOF LEFT JOINs + the
+    same gate/pick."""
     from rasusa_spark.operators.timeseries import asof_join
 
     ev = _events_cents(spark, sf_dir)
@@ -1490,8 +1491,8 @@ j AS (SELECT bk.event_id, bk.event_type, bk.ts,
       FROM bk JOIN fw USING (event_id)),
 p AS (SELECT *,
              (fts IS NULL OR (bts IS NOT NULL AND
-              (epoch_us(ts) // 1000000 - epoch_us(bts) // 1000000)
-              <= (epoch_us(fts) // 1000000 - epoch_us(ts) // 1000000)))
+              (epoch_us(ts) - epoch_us(bts))
+              <= (epoch_us(fts) - epoch_us(ts))))
              AS use_back
       FROM j)
 SELECT event_id, event_type,

@@ -97,7 +97,29 @@ def cms_partials(
         )
         .groupBy(*group_cols, "bucket_start", "r", "idx")
         .agg(mass.alias("cnt"))
+        .withColumns({"d": F.lit(d), "w": F.lit(w)})
     )
+
+
+def sketch_geometry(cms: DataFrame) -> tuple[int, int]:
+    """Read the (d, w) geometry the state was built with (ADVICE r4: the
+    state carries it as constant columns — they RLE to nothing in parquet
+    and add no groupBy cardinality); raises if the frame mixes geometries
+    (estimating across mixed sketches is undefined) or predates the
+    geometry columns."""
+    if "d" not in cms.columns or "w" not in cms.columns:
+        raise ValueError(
+            "CMS state has no d/w geometry columns — rebuild it with "
+            "cms_partials (states without recorded geometry cannot be "
+            "safely probed)"
+        )
+    geoms = cms.select("d", "w").distinct().collect()
+    if len(geoms) != 1:
+        raise ValueError(
+            f"CMS state mixes geometries {sorted((g.d, g.w) for g in geoms)}"
+            " — merge only sketches of identical (d, w)"
+        )
+    return int(geoms[0].d), int(geoms[0].w)
 
 
 def cms_from_finer(
@@ -109,12 +131,16 @@ def cms_from_finer(
     """Re-roll CMS state into a coarser tier: cell-wise counter addition —
     exactly associative, so the cascade is bit-equal to sketching raw data
     at the coarser tier directly (pinned in pytest). O(finer-state) work,
-    never touches raw rows."""
+    never touches raw rows. The constant (d, w) geometry columns ride
+    through as groupBy keys (mixed geometries would stay separate rather
+    than silently co-add; cms_estimate rejects mixed state)."""
     return finer.groupBy(
         *group_cols,
         bucket_expr(tier, "bucket_start").alias("bucket_start"),
         "r",
         "idx",
+        "d",
+        "w",
     ).agg(F.sum("cnt").alias("cnt"))
 
 
@@ -124,13 +150,19 @@ def cms_estimate(
     *,
     group_cols: tuple[str, ...] | list[str] = ("source",),
     item_col: str = "item",
-    d: int = D_ROWS,
-    w: int = W_COLS,
+    d: int | None = None,
+    w: int | None = None,
 ) -> DataFrame:
     """Point-query the sketch for each candidate item: expand each
     candidate to its d (r, idx) cells, left-join the skinny state on
     (group, bucket, r, idx) — the candidate side is tiny (AQE broadcasts
     it), missing cells read 0 — and take ``min`` over the d rows.
+
+    The probe geometry is DERIVED from the state's recorded (d, w)
+    columns (ADVICE r4: independent caller defaults against a sketch of
+    different geometry probe wrong cells and silently underestimate —
+    breaking the documented ``est >= true`` guarantee). Passing ``d``/``w``
+    explicitly is allowed only as an assertion: a mismatch raises.
 
     Output: one row per (group, bucket, item) with ``est`` — guaranteed
     ``est >= true count``, the classic CMS one-sided error.
@@ -141,6 +173,13 @@ def cms_estimate(
     zero cells a left join needs so ``min`` keeps the >= guarantee for
     never-seen items. An inner join on (r, idx) alone would silently
     drop empty cells and overestimate without bound."""
+    state_d, state_w = sketch_geometry(cms)
+    if d is not None and d != state_d:
+        raise ValueError(f"probe d={d} != sketch d={state_d}")
+    if w is not None and w != state_w:
+        raise ValueError(f"probe w={w} != sketch w={state_w}")
+    d, w = state_d, state_w
+    cms = cms.drop("d", "w")
     item = F.col(item_col)
     cells = F.array(
         *[

@@ -168,8 +168,11 @@ def asof_join(
             *gate(F.col("asof_ts_b"), "_b", F.col("asof_ts_b") >= F.col(on) - delta),
             *gate(F.col("asof_ts_f"), "_f", F.col("asof_ts_f") <= F.col(on) + delta),
         )
-    back_dist = F.unix_timestamp(F.col(on)) - F.unix_timestamp("asof_ts_b")
-    fwd_dist = F.unix_timestamp("asof_ts_f") - F.unix_timestamp(F.col(on))
+    # ADVICE r4: micros, not seconds — unix_timestamp truncation made
+    # backward win any sub-second tie against a genuinely closer forward
+    # match. unix_micros is the engine's native resolution everywhere else.
+    back_dist = F.unix_micros(F.col(on)) - F.unix_micros(F.col("asof_ts_b"))
+    fwd_dist = F.unix_micros(F.col("asof_ts_f")) - F.unix_micros(F.col(on))
     use_back = F.col("asof_ts_f").isNull() | (
         F.col("asof_ts_b").isNotNull() & (back_dist <= fwd_dist)
     )
@@ -214,6 +217,15 @@ def asof_join_skinny(
     to be unique per left row."""
     if left_key not in left.columns:
         raise ValueError(f"left_key {left_key!r} not in left columns")
+    # ADVICE r4: asof_join only sees the skinny projection, so a value_col
+    # colliding with a WIDE left column would sail through its overlap
+    # check and the final re-join would emit two same-named columns.
+    wide_overlap = set(value_cols) & set(left.columns)
+    if wide_overlap:
+        raise ValueError(
+            f"value_cols {sorted(wide_overlap)} collide with left columns; "
+            "rename the right-side value columns before the asof join"
+        )
     skinny = left.select(left_key, *by, on)
     matched = asof_join(
         skinny,

@@ -52,6 +52,32 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath  # noqa: SLF001
 
 
+def _check_cutoff_alignment(
+    spark: SparkSession, cutoff, coarse: str, drop_before: str
+) -> None:
+    """The drop cutoff must sit on a coarse-bucket boundary (else a coarse
+    bucket loses part of its fine history) AND on a DAY boundary (ADVICE
+    r4: deletion granularity is the ``bucket_part`` day partition, so a
+    mid-day cutoff — legal when coarse='1h' — would delete whole day dirs
+    that still contain fine rows >= cutoff: unverified data loss)."""
+    aligned = spark.range(1).select(
+        (F.date_trunc(TIERS[coarse], cutoff) == cutoff).alias("coarse_ok"),
+        (F.date_trunc("day", cutoff) == cutoff).alias("day_ok"),
+    ).first()
+    if not aligned.coarse_ok:
+        raise ValueError(
+            f"drop_before {drop_before!r} is not aligned to a {coarse} "
+            "bucket boundary — a coarse bucket would lose part of its "
+            "fine history"
+        )
+    if not aligned.day_ok:
+        raise ValueError(
+            f"drop_before {drop_before!r} is not aligned to a DAY boundary "
+            "— deletion granularity is the bucket_part day partition, so a "
+            "mid-day cutoff would drop fine rows >= cutoff"
+        )
+
+
 def apply_retention(
     spark: SparkSession,
     output_path: str,
@@ -175,15 +201,7 @@ def apply_tier_retention(
     coarse_path = os.path.join(state_path, f"rollup_{coarse}")
     cutoff = F.to_timestamp(F.lit(drop_before))
 
-    aligned = spark.range(1).select(
-        (F.date_trunc(TIERS[coarse], cutoff) == cutoff).alias("ok")
-    ).first().ok
-    if not aligned:
-        raise ValueError(
-            f"drop_before {drop_before!r} is not aligned to a {coarse} "
-            "bucket boundary — a coarse bucket would lose part of its "
-            "fine history"
-        )
+    _check_cutoff_alignment(spark, cutoff, coarse, drop_before)
 
     fine_df = spark.read.parquet(fine_path)
     doomed = fine_df.where(F.col("bucket_start") < cutoff)
@@ -279,14 +297,7 @@ def apply_sketch_tier_retention(
     coarse_path = os.path.join(state_path, f"{kind}_{coarse}")
     cutoff = F.to_timestamp(F.lit(drop_before))
 
-    aligned = spark.range(1).select(
-        (F.date_trunc(TIERS[coarse], cutoff) == cutoff).alias("ok")
-    ).first().ok
-    if not aligned:
-        raise ValueError(
-            f"drop_before {drop_before!r} is not aligned to a {coarse} "
-            "bucket boundary"
-        )
+    _check_cutoff_alignment(spark, cutoff, coarse, drop_before)
 
     fine_df = spark.read.parquet(fine_path)
     doomed = fine_df.where(F.col("bucket_start") < cutoff)
@@ -320,10 +331,10 @@ def apply_sketch_tier_retention(
             join_cols = ["source", "bucket_start", "id_set"]
             stored_cmp = stored.select(*join_cols)
         else:
-            fresh = doomed.groupBy("source", coarse_bucket, "r", "idx").agg(
-                F.sum("cnt").alias("cnt")
-            )
-            join_cols = ["source", "bucket_start", "r", "idx", "cnt"]
+            fresh = doomed.groupBy(
+                "source", coarse_bucket, "r", "idx", "d", "w"
+            ).agg(F.sum("cnt").alias("cnt"))
+            join_cols = ["source", "bucket_start", "r", "idx", "d", "w", "cnt"]
             stored_cmp = stored.select(*join_cols)
         uncovered = fresh.join(stored_cmp, on=join_cols, how="left_anti")
         missing = uncovered.select("source", "bucket_start").limit(5).collect()

@@ -380,9 +380,12 @@ def merge_cms_increment(
     inc = cms_partials(new_rows, tier, group_cols=group_cols, item_col=item_col)
 
     def remerge(union: DataFrame) -> DataFrame:
-        return union.groupBy(*group_cols, "bucket_start", "r", "idx").agg(
-            F.sum("cnt").alias("cnt")
-        )
+        # (d, w) geometry columns are constant groupBy keys — mixed
+        # geometries would stay separate rather than silently co-add,
+        # and cms_estimate rejects mixed state (ADVICE r4)
+        return union.groupBy(
+            *group_cols, "bucket_start", "r", "idx", "d", "w"
+        ).agg(F.sum("cnt").alias("cnt"))
 
     return _merge_increment(
         spark, inc, state_path, f"cms_{tier}", group_cols, remerge, allow_late

@@ -390,3 +390,31 @@ def test_sketch_tier_retention_distinct_and_cms(spark, raw2k, tmp_path):
             spark, state2, drop_before=cutoff, kind="distinct"
         )
     assert spark.read.parquet(f"{state2}/distinct_1h").count() == n_before
+
+
+def test_tier_retention_requires_day_aligned_cutoff(spark, tmp_path):
+    """ADVICE r4: deletion granularity is the bucket_part DAY partition,
+    so a coarse='1h' cutoff that is hour-aligned but mid-day must be
+    refused — it would delete whole day directories that still contain
+    fine rows >= cutoff. The guard fires before any state is read."""
+    from rasusa_spark.plans.retention import (
+        apply_sketch_tier_retention,
+        apply_tier_retention,
+    )
+
+    with pytest.raises(ValueError, match="DAY boundary"):
+        apply_tier_retention(
+            spark, str(tmp_path), drop_before="2026-04-07 07:00:00",
+            fine="raw", coarse="1h",
+        )
+    with pytest.raises(ValueError, match="DAY boundary"):
+        apply_sketch_tier_retention(
+            spark, str(tmp_path), drop_before="2026-04-07 07:00:00",
+            fine="raw", coarse="1h", kind="distinct",
+        )
+    # day-aligned cutoffs still reach the (missing) store, not the guard
+    with pytest.raises(Exception, match="(?i)path does not exist"):
+        apply_tier_retention(
+            spark, str(tmp_path), drop_before="2026-04-07 00:00:00",
+            fine="raw", coarse="1h",
+        )

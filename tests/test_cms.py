@@ -137,3 +137,34 @@ def test_weighted_mass_equals_exploded(spark, hits):
     a = {_state_key(r): r.cnt for r in raw.collect()}
     b = {_state_key(r): r.cnt for r in weighted.collect()}
     assert a == b
+
+
+def test_geometry_carried_and_mismatch_rejected(spark, hits):
+    """ADVICE r4: the state records its (d, w); cms_estimate derives the
+    probe geometry from it, treats explicit d/w only as an assertion,
+    refuses mixed-geometry unions, and refuses legacy state without the
+    geometry columns (probing wrong cells would silently underestimate,
+    breaking the one-sided est >= true guarantee)."""
+    d1 = cms_partials(hits, "1d", item_col="item", w=512)
+    cand = spark.range(0, 5).withColumnRenamed("id", "item")
+    derived = {
+        (r.source, r.bucket_start, r.item): r.est
+        for r in cms_estimate(d1, cand, item_col="item").collect()
+    }
+    explicit = {
+        (r.source, r.bucket_start, r.item): r.est
+        for r in cms_estimate(d1, cand, item_col="item", w=512).collect()
+    }
+    assert derived == explicit and derived
+    with pytest.raises(ValueError, match="probe w"):
+        cms_estimate(d1, cand, item_col="item", w=256)
+    with pytest.raises(ValueError, match="probe d"):
+        cms_estimate(d1, cand, item_col="item", d=2)
+    mixed = d1.unionByName(cms_partials(hits, "1d", item_col="item", w=256))
+    with pytest.raises(ValueError, match="mixes geometries"):
+        cms_estimate(mixed, cand, item_col="item")
+    with pytest.raises(ValueError, match="no d/w geometry"):
+        cms_estimate(d1.drop("d", "w"), cand, item_col="item")
+    # the cascade keeps geometry separate instead of co-adding it
+    casc = cms_from_finer(mixed, "1d")
+    assert casc.select("d", "w").distinct().count() == 2
