@@ -54,6 +54,104 @@ def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem + qualified Path (local/HDFS/S3A alike)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs, jpath
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, jpath = _fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def _txn_paths(state_path: str, store_name: str) -> dict[str, str]:
+    """On-disk layout of one store's merge transaction: ``manifest`` is the
+    durable list of input files already folded into the store; ``staging``
+    holds the full new content of every touched partition; ``txnwm`` the
+    advanced watermark rows; ``intent`` the file list being applied — its
+    existence (with _SUCCESS) is the signal that a prepared transaction
+    must be rolled FORWARD."""
+    return {
+        "manifest": os.path.join(state_path, f"{store_name}_files"),
+        "staging": os.path.join(state_path, f"{store_name}_txn_staging"),
+        "txnwm": os.path.join(state_path, f"{store_name}_txn_wm"),
+        "intent": os.path.join(state_path, f"{store_name}_txn_intent"),
+    }
+
+
+def _txn_cleanup(spark: SparkSession, state_path: str, store_name: str) -> None:
+    """Commit a promoted transaction: deleting the INTENT first is the
+    commit point (recovery replays only while the intent exists); the
+    staging/wm scratch goes after."""
+    p = _txn_paths(state_path, store_name)
+    _fs_delete(spark, p["intent"])
+    _fs_delete(spark, p["txnwm"])
+    _fs_delete(spark, p["staging"])
+
+
+def _txn_promote(spark: SparkSession, state_path: str, store_name: str) -> None:
+    """Apply a PREPARED transaction: overwrite the touched store partitions
+    from staging, advance the watermark, union the intent's file list into
+    the manifest, then clean up. Every step is idempotent (staging holds
+    the complete new content of each touched partition; manifest union is
+    set union; watermark overwrite is absolute), so a kill anywhere here is
+    repaired by re-running this function — which ``recover_pending`` does
+    on the next merge."""
+    p = _txn_paths(state_path, store_name)
+    store = os.path.join(state_path, store_name)
+    wm_path = os.path.join(state_path, f"{store_name}_wm")
+
+    staging = spark.read.parquet(p["staging"])  # _PART is a data column here
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    staging.write.mode("overwrite").partitionBy(_PART).parquet(store)
+
+    spark.read.parquet(p["txnwm"]).coalesce(1).write.mode("overwrite").parquet(
+        wm_path
+    )
+
+    files = {r.path for r in spark.read.parquet(p["intent"]).collect()}
+    manifest = _read_parquet_or_none(spark, p["manifest"])
+    if manifest is not None:
+        files |= {r.path for r in manifest.collect()}
+    spark.createDataFrame(
+        sorted((f,) for f in files), "path string"
+    ).coalesce(1).write.mode("overwrite").parquet(p["manifest"])
+
+    _txn_cleanup(spark, state_path, store_name)
+
+
+def recover_pending(spark: SparkSession, state_path: str, store_name: str) -> bool:
+    """Repair a merge transaction interrupted by a crash (ADVICE r4: the
+    old flow's single post-hoc manifest made a kill between merge and
+    manifest double-count the non-idempotent sum/histogram/CMS tiers on
+    resume). Two cases:
+
+    - intent present (with _SUCCESS): the transaction was fully prepared —
+      roll it FORWARD by replaying the idempotent promote. Returns True.
+    - no (valid) intent: any staging/wm scratch is from a crash BEFORE the
+      prepare phase committed — the store and manifest are untouched, so
+      the scratch is dead weight; delete it. The interrupted files stay
+      out of the manifest and the next merge re-applies them from the
+      original input. Returns False.
+
+    Callers must run this BEFORE reading the manifest to compute the
+    not-yet-merged file set (a pending transaction's files land in the
+    manifest only during replay)."""
+    p = _txn_paths(state_path, store_name)
+    fs, intent_jpath = _fs(spark, p["intent"])
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    if not fs.exists(intent_jpath) or not fs.exists(
+        jvm_path(os.path.join(p["intent"], "_SUCCESS"))
+    ):
+        _txn_cleanup(spark, state_path, store_name)
+        return False
+    _txn_promote(spark, state_path, store_name)
+    return True
+
+
 def _merge_increment(
     spark: SparkSession,
     inc: DataFrame,
@@ -62,12 +160,22 @@ def _merge_increment(
     group_cols: list[str],
     remerge,
     allow_late: bool,
+    txn_files: list[str] | None = None,
 ) -> DataFrame:
     """Shared O(delta) merge machinery: watermark guard, partition-pruned
     read of only the touched bucket days, ``remerge(union)`` to re-aggregate
     (must be exactly associative), dynamic partition overwrite, compact
     per-group watermark advance. ``inc`` must be the increment already
-    aggregated to (group_cols, bucket_start) granularity."""
+    aggregated to (group_cols, bucket_start) granularity.
+
+    With ``txn_files`` (the input file paths ``inc`` was built from) the
+    merge is a crash-safe roll-forward TRANSACTION: the merged content of
+    every touched partition is staged durably first, then an intent record
+    commits the prepare phase, then a replayable promote applies store +
+    watermark + per-store file manifest together. A kill at any point
+    either leaves the store/manifest pair untouched (pre-intent) or is
+    rolled forward exactly once by ``recover_pending`` — never a partial
+    state that re-merges the same file into a non-idempotent carrier."""
     inc = inc.persist()
     store = os.path.join(state_path, store_name)
     wm_path = os.path.join(state_path, f"{store_name}_wm")
@@ -85,6 +193,20 @@ def _merge_increment(
                 "pass allow_late=True to merge them (exact, associative)"
             )
 
+    if txn_files is not None:
+        p = _txn_paths(state_path, store_name)
+        manifest = _read_parquet_or_none(spark, p["manifest"])
+        if manifest is not None:
+            seen = {r.path for r in manifest.collect()}
+            dup = sorted(f for f in txn_files if f in seen)
+            if dup:
+                inc.unpersist()
+                raise ValueError(
+                    f"{len(dup)} input file(s) already in {store_name}'s "
+                    f"merged manifest (first: {dup[0]}) — stale file list; "
+                    "run recover_pending and re-list before merging"
+                )
+
     part_expr = F.date_format("bucket_start", "yyyyMMdd").alias(_PART)
     existing = _read_parquet_or_none(spark, store)
     if existing is not None:
@@ -94,16 +216,14 @@ def _merge_increment(
         merged = remerge(
             existing.where(F.col(_PART).isin(touched)).drop(_PART).unionByName(inc)
         )
-        # the write below overwrites partitions the plan also reads — cut
-        # the lineage first (bounded: merged holds only touched partitions)
-        merged = merged.localCheckpoint(eager=True)
+        if txn_files is None:
+            # the write below overwrites partitions the plan also reads —
+            # cut the lineage first (bounded: only touched partitions);
+            # the txn path materializes to staging instead, which both
+            # cuts the lineage and makes the promote replayable
+            merged = merged.localCheckpoint(eager=True)
     else:
         merged = inc
-
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.withColumn(_PART, F.date_format("bucket_start", "yyyyMMdd")).write.mode(
-        "overwrite"
-    ).partitionBy(_PART).parquet(store)
 
     # advance the compact per-group watermark table (tiny — one row/group)
     inc_wm = inc.groupBy(*group_cols).agg(F.max("bucket_start").alias("_wm"))
@@ -115,6 +235,31 @@ def _merge_increment(
         )
     else:
         new_wm = inc_wm
+
+    if txn_files is not None:
+        # prepare: stage merged partitions (durable, outside the store —
+        # _PART stays a DATA column so read-back types survive), then the
+        # advanced watermark, then the intent marker LAST (its _SUCCESS
+        # commits the prepare phase)
+        merged.withColumn(
+            _PART, F.date_format("bucket_start", "yyyyMMdd")
+        ).write.mode("overwrite").parquet(p["staging"])
+        new_wm_rows = new_wm.collect()  # bounded: one row per group
+        spark.createDataFrame(new_wm_rows, new_wm.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p["txnwm"])
+        spark.createDataFrame(
+            [(f,) for f in txn_files], "path string"
+        ).coalesce(1).write.mode("overwrite").parquet(p["intent"])
+        inc.unpersist()
+        _txn_promote(spark, state_path, store_name)
+        return spark.read.parquet(store).drop(_PART)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.withColumn(_PART, F.date_format("bucket_start", "yyyyMMdd")).write.mode(
+        "overwrite"
+    ).partitionBy(_PART).parquet(store)
+
     new_wm_rows = new_wm.collect()  # bounded: one row per group
     inc.unpersist()
     spark.createDataFrame(new_wm_rows, new_wm.schema).coalesce(1).write.mode(
@@ -130,6 +275,7 @@ def merge_rollup_increment(
     tier: str = "1h",
     group_cols: tuple[str, ...] | list[str] = ("source",),
     allow_late: bool = False,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Fold ``new_rows`` into the stored tier at ``state_path``; returns the
     updated tier. Watermark = max bucket per group already merged (kept in a
@@ -152,7 +298,8 @@ def merge_rollup_increment(
         )
 
     return _merge_increment(
-        spark, inc, state_path, f"rollup_{tier}", group_cols, remerge, allow_late
+        spark, inc, state_path, f"rollup_{tier}", group_cols, remerge,
+        allow_late, txn_files=files
     )
 
 
@@ -163,6 +310,7 @@ def merge_histogram_increment(
     tier: str = "1h",
     group_cols: tuple[str, ...] | list[str] = ("source",),
     allow_late: bool = False,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """O(delta) incremental maintenance of the HISTOGRAM sketch tier
     (functions/histsketch.py): same watermark/partition-pruning machinery
@@ -190,7 +338,8 @@ def merge_histogram_increment(
         )
 
     return _merge_increment(
-        spark, inc, state_path, f"hist_{tier}", group_cols, remerge, allow_late
+        spark, inc, state_path, f"hist_{tier}", group_cols, remerge,
+        allow_late, txn_files=files
     )
 
 
@@ -330,6 +479,7 @@ def merge_distinct_increment(
     group_cols: tuple[str, ...] | list[str] = ("source",),
     id_col: str = "doc_id",
     allow_late: bool = False,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """O(delta) incremental maintenance of the EXACT distinct-count tier
     (functions/distinct.py): the per-bucket sorted distinct id array is the
@@ -354,7 +504,8 @@ def merge_distinct_increment(
         )
 
     return _merge_increment(
-        spark, inc, state_path, f"distinct_{tier}", group_cols, remerge, allow_late
+        spark, inc, state_path, f"distinct_{tier}", group_cols, remerge,
+        allow_late, txn_files=files
     )
 
 
@@ -366,6 +517,7 @@ def merge_cms_increment(
     group_cols: tuple[str, ...] | list[str] = ("source",),
     item_col: str = "doc_id",
     allow_late: bool = False,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """O(delta) incremental maintenance of the COUNT-MIN sketch tier
     (functions/cms.py): state is the skinny (group, bucket, r, idx, cnt)
@@ -388,5 +540,6 @@ def merge_cms_increment(
         ).agg(F.sum("cnt").alias("cnt"))
 
     return _merge_increment(
-        spark, inc, state_path, f"cms_{tier}", group_cols, remerge, allow_late
+        spark, inc, state_path, f"cms_{tier}", group_cols, remerge,
+        allow_late, txn_files=files
     )

@@ -10,11 +10,15 @@ at BOTH levels:
   file, and the per-bucket budget state (kept_rows, kept_tokens) carries
   across restarts — the crossing-row contract holds over the whole input
   no matter how many runs it took (streaming/stateful.py);
-- the TIER MERGE resumes from a merged-files manifest
-  (``<work>/state/merged_files``): each invocation folds ONLY retained
-  files not yet merged into the stored tiers (merge_rollup_increment /
+- the TIER MERGE resumes from PER-STORE merged-files manifests
+  (``<work>/state/<store>_files``): each invocation folds ONLY retained
+  files not yet merged into that store (merge_rollup_increment /
   merge_histogram_increment are exactly associative, so any split of the
   delta across runs yields bit-equal tiers — streaming/incremental.py).
+  Each merge is a roll-forward transaction (staging + intent + replayable
+  promote): a kill between store write and manifest write — which used to
+  double-count the non-idempotent sum/histogram/CMS carriers (ADVICE r4)
+  — is repaired exactly once by ``recover_pending`` on the next run.
 
 Every piece existed since round 2/3; this wires them into one resumable
 job (the job-level resumability story). Run:
@@ -89,6 +93,7 @@ def run_flow(
         merge_distinct_increment,
         merge_histogram_increment,
         merge_rollup_increment,
+        recover_pending,
     )
     from rasusa_spark.streaming.stateful import streaming_budget_downsample
 
@@ -110,34 +115,69 @@ def run_flow(
     )
     q.awaitTermination()
 
-    # 2. fold ONLY the not-yet-merged retained files into the tiers
+    # 2. fold ONLY the not-yet-merged retained files into the tiers.
+    # ADVICE r4: each store keeps its OWN merged-files manifest, and each
+    # merge is a roll-forward transaction (staging + intent + replayable
+    # promote, streaming/incremental.py) — a kill anywhere between/inside
+    # the five merges can no longer double-count the non-idempotent
+    # sum/histogram/CMS carriers on resume: an interrupted store is either
+    # untouched (its files re-apply from the input) or rolled forward
+    # exactly once by recover_pending before its next merge.
     all_files = _list_parquet_files(spark, retained)
-    manifest_path = os.path.join(state, "merged_files")
-    manifest = _read_parquet_or_none(spark, manifest_path)
-    seen = (
-        {r.path for r in manifest.collect()} if manifest is not None else set()
+    legacy_manifest = os.path.join(state, "merged_files")
+
+    def merge_store(store_name: str, merge_fn):
+        recover_pending(spark, state, store_name)
+        manifest_path = os.path.join(state, f"{store_name}_files")
+        manifest = _read_parquet_or_none(spark, manifest_path)
+        if manifest is None:
+            # one-time migration: seed from the pre-r5 global manifest so
+            # existing work dirs don't re-merge their whole history
+            legacy = _read_parquet_or_none(spark, legacy_manifest)
+            if legacy is not None:
+                legacy.coalesce(1).write.mode("overwrite").parquet(manifest_path)
+                manifest = spark.read.parquet(manifest_path)
+        seen = (
+            {r.path for r in manifest.collect()} if manifest is not None else set()
+        )
+        new = [f for f in all_files if f not in seen]
+        if not new:
+            return 0, None
+        delta = spark.read.schema(OUT_SCHEMA_FLOW).parquet(*new)
+        return len(new), merge_fn(delta, new)
+
+    n_new, merged = merge_store(
+        "rollup_1h",
+        lambda d, f: merge_rollup_increment(
+            spark, d, state, tier="1h", allow_late=True, files=f
+        ),
     )
-    new_files = [f for f in all_files if f not in seen]
-    merged_buckets = 0
-    if new_files:
-        delta = spark.read.schema(OUT_SCHEMA_FLOW).parquet(*new_files)
-        merged = merge_rollup_increment(
-            spark, delta, state, tier="1h", allow_late=True
-        )
-        merge_histogram_increment(spark, delta, state, tier="1h", allow_late=True)
-        merge_rollup_increment(spark, delta, state, tier="1d", allow_late=True)
-        # round-4 carriers: exact distinct sets (idempotent under file
-        # redelivery) and the CMS frequency sketch — same O(delta) merges
-        merge_distinct_increment(
-            spark, delta, state, tier="1h", id_col="doc_id", allow_late=True
-        )
-        merge_cms_increment(
-            spark, delta, state, tier="1h", item_col="doc_id", allow_late=True
-        )
-        merged_buckets = merged.count()
-        spark.createDataFrame(
-            [(f,) for f in all_files], "path string"
-        ).coalesce(1).write.mode("overwrite").parquet(manifest_path)
+    merge_store(
+        "hist_1h",
+        lambda d, f: merge_histogram_increment(
+            spark, d, state, tier="1h", allow_late=True, files=f
+        ),
+    )
+    merge_store(
+        "rollup_1d",
+        lambda d, f: merge_rollup_increment(
+            spark, d, state, tier="1d", allow_late=True, files=f
+        ),
+    )
+    merge_store(
+        "distinct_1h",
+        lambda d, f: merge_distinct_increment(
+            spark, d, state, tier="1h", id_col="doc_id", allow_late=True, files=f
+        ),
+    )
+    merge_store(
+        "cms_1h",
+        lambda d, f: merge_cms_increment(
+            spark, d, state, tier="1h", item_col="doc_id", allow_late=True, files=f
+        ),
+    )
+    merged_buckets = merged.count() if merged is not None else 0
+    new_files = n_new
     # 3. optional tier-cascade retention: drop 1h bucket-day partitions
     # older than a day-aligned cutoff once the 1d store covers them
     # bit-for-bit (plans/retention.apply_tier_retention refuses otherwise)
@@ -151,7 +191,7 @@ def run_flow(
 
     return {
         "retained_files": len(all_files),
-        "new_files_merged": len(new_files),
+        "new_files_merged": new_files,
         "tier_1h_buckets": merged_buckets,
         "tier_partitions_dropped": tier_dropped,
     }

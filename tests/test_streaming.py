@@ -701,3 +701,105 @@ def test_streaming_twa_equals_batch(spark, tmp_path):
         (r.event_type, r.bucket_start, r.twa, r.n_samples) for r in d.collect()
     )
     assert key(streamed) == key(batch) and len(key(batch)) > 0
+
+
+def _load_flow():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_flow",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "stream_flow.py"),
+    )
+    flow = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(flow)
+    return flow
+
+
+def _tier_rows(spark, work, store):
+    df = spark.read.parquet(f"{work}/state/{store}")
+    # sort columns by name: parquet read-back order depends on which file's
+    # footer Spark samples (first-write inc order vs remerge's cnt-last)
+    cols = sorted(c for c in df.columns if c != "bucket_part")
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_flow_merge_crash_no_double_count(spark, raw4k, tmp_path, monkeypatch):
+    """ADVICE r4: a crash BETWEEN a store's merge and its manifest write
+    must not double-count the non-idempotent sum/hist/CMS carriers on
+    resume. Two injected crash points against a single-run reference:
+
+    (a) crash after the transaction is PREPARED (staging+intent durable)
+        but before the promote touches the store — recover_pending rolls
+        it forward exactly once on the next run;
+    (b) crash after the promote fully applied but before the intent is
+        cleaned — the replay on the next run must be idempotent.
+    """
+    import os
+
+    import rasusa_spark.streaming.incremental as inc_mod
+
+    flow = _load_flow()
+    budget = 100_000
+
+    # single-shot reference tiers over the full input — SAME file layout
+    # and arrival order as the crashed path (the budget sampler's retained
+    # set depends on arrival order, so the layouts must match byte-wise)
+    ref_inp, ref_work = str(tmp_path / "rin"), str(tmp_path / "rwork")
+    raw4k.where(F.col("row_idx") < 2000).coalesce(1).write.parquet(f"{ref_inp}/a")
+    raw4k.where(F.col("row_idx") >= 2000).coalesce(1).write.parquet(f"{ref_inp}/b")
+    flow.run_flow(spark, f"{ref_inp}/*", ref_work, budget)
+
+    inp, work = str(tmp_path / "cin"), str(tmp_path / "cwork")
+    raw4k.where(F.col("row_idx") < 2000).coalesce(1).write.parquet(f"{inp}/a")
+    flow.run_flow(spark, f"{inp}/*", work, budget)
+
+    # the rest arrives; crash point (a): _txn_promote dies for rollup_1h
+    raw4k.where(F.col("row_idx") >= 2000).coalesce(1).write.parquet(f"{inp}/b")
+    real_promote = inc_mod._txn_promote
+
+    def dying_promote(spark_, state_path, store_name):
+        if store_name == "rollup_1h":
+            raise RuntimeError("injected crash before promote")
+        return real_promote(spark_, state_path, store_name)
+
+    monkeypatch.setattr(inc_mod, "_txn_promote", dying_promote)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        flow.run_flow(spark, f"{inp}/*", work, budget)
+    monkeypatch.setattr(inc_mod, "_txn_promote", real_promote)
+    # the prepared-but-unpromoted txn is visible on disk
+    assert os.path.exists(f"{work}/state/rollup_1h_txn_intent/_SUCCESS")
+
+    # crash point (b) on the NEXT run: hist_1h promotes fully but its
+    # cleanup never happens (intent survives → replay on the run after)
+    real_cleanup = inc_mod._txn_cleanup
+
+    def skipping_cleanup(spark_, state_path, store_name):
+        if store_name == "hist_1h":
+            return  # simulate dying after manifest write, before commit
+        return real_cleanup(spark_, state_path, store_name)
+
+    monkeypatch.setattr(inc_mod, "_txn_cleanup", skipping_cleanup)
+    flow.run_flow(spark, f"{inp}/*", work, budget)
+    monkeypatch.setattr(inc_mod, "_txn_cleanup", real_cleanup)
+    assert os.path.exists(f"{work}/state/hist_1h_txn_intent/_SUCCESS")
+
+    # final run: replays hist_1h's committed txn idempotently, merges
+    # nothing new anywhere else
+    stats = flow.run_flow(spark, f"{inp}/*", work, budget)
+    assert stats["new_files_merged"] == 0
+    assert not os.path.exists(f"{work}/state/hist_1h_txn_intent")
+
+    for store in ["rollup_1h", "hist_1h", "rollup_1d", "distinct_1h", "cms_1h"]:
+        assert _tier_rows(spark, work, store) == _tier_rows(
+            spark, ref_work, store
+        ), f"{store} diverged from the single-run reference after crashes"
+
+    # arrival-order-independent double-count check: the stored 1h tier
+    # must equal a direct re-aggregation of the retained rows
+    from rasusa_spark.operators.rollup import rollup
+
+    retained = spark.read.parquet(f"{work}/retained")
+    assert _rows(spark.read.parquet(f"{work}/state/rollup_1h")) == _rows(
+        rollup(retained.drop("bucket_start"), "1h")
+    )
