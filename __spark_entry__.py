@@ -1414,6 +1414,31 @@ def _multimodal_oracle_sql() -> str:
     )
 
 
+def _golden_oracle_sql(kept: list[str]) -> str:
+    """Oracle for the exact-RNG golden queries (VERDICT r4 Next #3): the
+    kept sets are FIXED literals from the reference's own reproducibility
+    fixtures (tests/reproducibility.rs seeds — `reads -n 10 -s 1` and the
+    one-pass Bernoulli at frac=0.5 seed=1 over the seed.fastq analog, every
+    read 4 tokens long), independent of sf_dir. Same VALUES pattern as the
+    multimodal oracle; the pytest goldens in tests/test_downsample.py pin
+    the identical sets against rng.py's bit-parity machinery."""
+    vals = ",".join(f"('{d}',4)" for d in kept)
+    return (
+        f"SELECT doc_id, n_tok FROM (VALUES {vals}) AS t(doc_id, n_tok) "
+        "ORDER BY doc_id"
+    )
+
+
+_GOLDEN_NUM10_SEED1 = [
+    "read1", "read2", "read3", "read5", "read7",
+    "read9", "read11", "read12", "read14", "read15",
+]
+_GOLDEN_ONEPASS_SEED1 = [
+    "read2", "read3", "read6", "read7", "read8",
+    "read11", "read14", "read15", "read16",
+]
+
+
 def oracle_sql() -> dict[str, str]:
     budget_sql = f"""
 WITH t AS ({_LI_KEYED}),
@@ -2202,6 +2227,8 @@ FROM events GROUP BY 1
         ),
         "lsh_topk": _lsh_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
+        "golden_num10_seed1": _golden_oracle_sql(_GOLDEN_NUM10_SEED1),
+        "golden_onepass_seed1": _golden_oracle_sql(_GOLDEN_ONEPASS_SEED1),
         **(
             {"ivf_topk": ivf}
             if (ivf := _ivf_oracle_sql()) is not None
