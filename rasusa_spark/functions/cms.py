@@ -152,6 +152,7 @@ def cms_estimate(
     item_col: str = "item",
     d: int | None = None,
     w: int | None = None,
+    max_candidates: int | None = 100_000,
 ) -> DataFrame:
     """Point-query the sketch for each candidate item: expand each
     candidate to its d (r, idx) cells, left-join the skinny state on
@@ -172,7 +173,25 @@ def cms_estimate(
     broadcast), not a data-scale join: it exists to materialize the
     zero cells a left join needs so ``min`` keeps the >= guarantee for
     never-seen items. An inner join on (r, idx) alone would silently
-    drop empty cells and overestimate without bound."""
+    drop empty cells and overestimate without bound.
+
+    ``max_candidates`` enforces the bounded-candidate contract (VERDICT
+    r4: the broadcast bound was documented but unenforced — an unbounded
+    candidate set became a driver-size broadcast). The check is a
+    ``limit(max+1).count()`` probe (bounded work regardless of the real
+    size). Estimating an UNBOUNDED item set against a CMS is the wrong
+    query shape — enumerate the heavy-hitter candidates first, or pass
+    ``max_candidates=None`` after sizing executor memory for the grid."""
+    if max_candidates is not None:
+        probe_n = candidates.limit(max_candidates + 1).count()
+        if probe_n > max_candidates:
+            raise ValueError(
+                f"cms_estimate: candidate set exceeds max_candidates="
+                f"{max_candidates} — the probe grid is broadcast, so an "
+                "unbounded candidate side becomes a driver-size broadcast; "
+                "pre-select candidates (e.g. heavy hitters) or pass "
+                "max_candidates=None deliberately"
+            )
     state_d, state_w = sketch_geometry(cms)
     if d is not None and d != state_d:
         raise ValueError(f"probe d={d} != sketch d={state_d}")

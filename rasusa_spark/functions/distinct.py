@@ -36,6 +36,35 @@ from pyspark.sql import functions as F
 from ..operators.rollup import bucket_expr
 
 
+#: Per-bucket cardinality above which the exact carrier refuses to run
+#: (VERDICT r4: the crossover to HLL was documented but unenforced — a
+#: caller pointing the exact carrier at globally-unique ids built
+#: multi-GB agg buffers instead of an error). 1M ids ≈ tens of MB per
+#: bucket row — the practical ceiling for a state you still want to
+#: shuffle and store. Pass ``max_set_size=None`` to opt out explicitly.
+DEFAULT_MAX_SET_SIZE = 1_000_000
+
+
+def _guarded_count(max_set_size: int | None):
+    """n_distinct projection that enforces the exact-carrier cardinality
+    contract INSIDE the plan (distributed, zero extra pass): buckets over
+    the bound raise at execution time with a pointer to the HLL carrier."""
+    size = F.size("id_set").cast("long")
+    if max_set_size is None:
+        return size
+    return F.when(size <= max_set_size, size).otherwise(
+        F.raise_error(
+            F.format_string(
+                "exact distinct-set carrier: bucket holds %s distinct ids "
+                f"(> max_set_size={max_set_size}) — use the HLL carrier "
+                "(hll_partials/hll_from_finer) for unbounded cardinality, "
+                "or raise/disable max_set_size explicitly",
+                size,
+            )
+        )
+    )
+
+
 def distinct_partials(
     df: DataFrame,
     tier: str,
@@ -43,15 +72,18 @@ def distinct_partials(
     ts_col: str = "ts",
     group_cols: tuple[str, ...] | list[str] = ("source",),
     id_col: str = "doc_id",
+    max_set_size: int | None = DEFAULT_MAX_SET_SIZE,
 ) -> DataFrame:
     """Per-(group, bucket) exact distinct state: sorted distinct id array
     + its count. ``collect_set`` is map-side combinable (partial sets
     merge per partition before the shuffle); ``array_sort`` canonicalizes
-    so the state is layout-invariant and comparable bit-for-bit."""
+    so the state is layout-invariant and comparable bit-for-bit.
+    ``max_set_size`` enforces the bounded-cardinality contract (see
+    ``DEFAULT_MAX_SET_SIZE``)."""
     return (
         df.groupBy(*group_cols, bucket_expr(tier, ts_col).alias("bucket_start"))
         .agg(F.array_sort(F.collect_set(id_col)).alias("id_set"))
-        .withColumn("n_distinct", F.size("id_set").cast("long"))
+        .withColumn("n_distinct", _guarded_count(max_set_size))
     )
 
 
@@ -60,12 +92,15 @@ def distinct_from_finer(
     tier: str,
     *,
     group_cols: tuple[str, ...] | list[str] = ("source",),
+    max_set_size: int | None = DEFAULT_MAX_SET_SIZE,
 ) -> DataFrame:
     """Re-roll the exact distinct state into a coarser tier: union of the
     finer buckets' sets (flatten + distinct + sort — associative and
     idempotent, so ANY split of the data across finer buckets or runs
     yields the identical coarser state; the O(delta) incremental-merge
-    argument of streaming/incremental.py applies verbatim)."""
+    argument of streaming/incremental.py applies verbatim). The coarser
+    union can exceed the bound even when every finer bucket was in-bound,
+    so the ``max_set_size`` guard re-applies here."""
     return (
         finer.groupBy(
             *group_cols, bucket_expr(tier, "bucket_start").alias("bucket_start")
@@ -75,7 +110,7 @@ def distinct_from_finer(
                 F.array_distinct(F.flatten(F.collect_list("id_set")))
             ).alias("id_set")
         )
-        .withColumn("n_distinct", F.size("id_set").cast("long"))
+        .withColumn("n_distinct", _guarded_count(max_set_size))
     )
 
 

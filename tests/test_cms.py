@@ -168,3 +168,18 @@ def test_geometry_carried_and_mismatch_rejected(spark, hits):
     # the cascade keeps geometry separate instead of co-adding it
     casc = cms_from_finer(mixed, "1d")
     assert casc.select("d", "w").distinct().count() == 2
+
+
+def test_estimate_candidate_bound_guard(spark, hits):
+    """VERDICT r4 Next #5: cms_estimate refuses an unbounded candidate set
+    (the probe grid is broadcast); the check is a bounded limit-count."""
+    from pyspark.sql import functions as F
+
+    state = cms_partials(hits, "1d", item_col="item", d=4, w=256)
+    cands = spark.range(500).select(F.col("id").alias("item"))
+    with pytest.raises(ValueError, match="max_candidates"):
+        cms_estimate(state, cands, item_col="item", max_candidates=100)
+    # explicit opt-out and in-bound candidates both work
+    est = cms_estimate(state, cands.limit(50), item_col="item", max_candidates=100)
+    est_off = cms_estimate(state, cands.limit(50), item_col="item", max_candidates=None)
+    assert sorted(map(tuple, est.collect())) == sorted(map(tuple, est_off.collect()))

@@ -93,3 +93,27 @@ def test_hll_cascade_estimates_equal_direct(spark, visits):
     }
     for k, est in a.items():
         assert est == exact[k]  # lg_k=12 is exact at this cardinality
+
+
+def test_exact_carrier_cardinality_guard(spark, visits):
+    """VERDICT r4 Next #5: the exact carrier ERRORS (inside the plan, no
+    extra pass) when a bucket exceeds max_set_size, pointing at HLL."""
+    from pyspark.errors import SparkRuntimeException
+
+    guarded = distinct_partials(visits, "1d", id_col="user_id", max_set_size=50)
+    with pytest.raises(SparkRuntimeException, match="HLL carrier"):
+        guarded.collect()
+    # in-bound data passes untouched, and None disables the guard
+    ok = distinct_partials(visits, "1d", id_col="user_id", max_set_size=150)
+    off = distinct_partials(visits, "1d", id_col="user_id", max_set_size=None)
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, off.collect()))
+
+
+def test_exact_from_finer_cardinality_guard(spark, visits):
+    """The coarser union can cross the bound even if every finer bucket
+    was in-bound — the guard re-applies on re-roll."""
+    from pyspark.errors import SparkRuntimeException
+
+    h1 = distinct_partials(visits, "1h", id_col="user_id")
+    with pytest.raises(SparkRuntimeException, match="HLL carrier"):
+        distinct_from_finer(h1, "1d", max_set_size=50).collect()
