@@ -69,6 +69,61 @@ def cohort_retention(
     )
 
 
+def cohort_retention_filled(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``cohort_retention`` with the retention TRIANGLE gap-filled
+    (VERDICT r4 Next #7): a (cohort_day, day_offset) cell with zero
+    active users emits an explicit 0-row instead of vanishing, for every
+    offset from 0 to the last observed day — i.e. exactly the lower
+    triangle a retention chart draws.
+
+    Spine = per-cohort ``sequence(0, datediff(last_day, cohort_day))``
+    exploded — generated from the COHORT DIM (one row per cohort day),
+    never from raw events; the global last day is a one-row broadcast.
+    The left join fills ``n_users = 0`` and ``retention_rate = 0.0``;
+    observed cells pass through bit-identical to ``cohort_retention``
+    (pinned by test)."""
+    ret = cohort_retention(df, user_col=user_col, ts_col=ts_col)
+    sizes = ret.select("cohort_day", "cohort_size").distinct()
+    last_day = df.select(
+        F.max(F.date_trunc("day", F.col(ts_col))).alias("_last_day")
+    )
+    spine = (
+        sizes.crossJoin(F.broadcast(last_day))
+        .select(
+            "cohort_day",
+            "cohort_size",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.datediff(F.col("_last_day"), F.col("cohort_day")),
+                )
+            ).alias("day_offset"),
+        )
+    )
+    return (
+        spine.join(
+            ret.select("cohort_day", "day_offset", "n_users"),
+            on=["cohort_day", "day_offset"],
+            how="left",
+        )
+        .select(
+            "cohort_day",
+            "day_offset",
+            F.coalesce(F.col("n_users"), F.lit(0)).cast("long").alias("n_users"),
+            "cohort_size",
+        )
+        .withColumn(
+            "retention_rate",
+            F.col("n_users").cast("double") / F.col("cohort_size").cast("double"),
+        )
+    )
+
+
 def funnel(
     df: DataFrame,
     steps: list[str] | tuple[str, ...],

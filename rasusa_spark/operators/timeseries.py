@@ -714,6 +714,115 @@ def counter_increase(
     )
 
 
+def gauge_delta(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """Gauge ``delta`` per (series, bucket) — the public PromQL semantics
+    for GAUGE metrics (``counter_increase`` covers counters; gauges go up
+    AND down, so the meaningful per-bucket change is last − first, no
+    reset folding, VERDICT r4 Next #7).
+
+    Pinned contract (integer-exact, so the DuckDB oracle hash-matches):
+
+    - total order within (series, bucket): (``ts``, ``id_col``) — ties
+      broken by the unique id identically in both engines;
+    - ``v_first``/``v_last`` = value at that order's endpoints;
+      ``delta`` = v_last − v_first (int64 — exact; a singleton bucket's
+      delta is 0); no cross-bucket extrapolation, unlike PromQL's
+      range-vector estimate, so the result is exact and mergeable:
+      re-rolling to a coarser tier = min_by/max_by over (first_ts,
+      last_ts) carriers (same argument as the M4 tier).
+    - ``rate_per_s`` = delta / width — one IEEE division.
+
+    Scale shape: ONE map-side-combinable groupBy (``min_by``/``max_by``
+    on the composite order key — no window, no per-series sort), i.e. the
+    same single (series, bucket) exchange as every other tier."""
+    v = F.col(value_col).cast("long")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    okey = F.struct(us.alias("u"), F.col(id_col).alias("i"))
+    b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    return (
+        df.groupBy(*series_cols, b.alias("bucket_start"))
+        .agg(
+            F.min_by(v, okey).alias("v_first"),
+            F.max_by(v, okey).alias("v_last"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            *series_cols,
+            "bucket_start",
+            "v_first",
+            "v_last",
+            (F.col("v_last") - F.col("v_first")).alias("delta"),
+            "n_samples",
+            (
+                (F.col("v_last") - F.col("v_first")).cast("double")
+                / F.lit(float(width_s))
+            ).alias("rate_per_s"),
+        )
+    )
+
+
+def topn_rollup(
+    df: DataFrame,
+    width_s: int,
+    n: int,
+    *,
+    key_col: str = "user_id",
+    series_cols: tuple[str, ...] | list[str] = (),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """Top-N keys per (series, bucket) by metric sum, with every remaining
+    key collapsed into one ``__others__`` row — the TimescaleDB/Grafana
+    "top N + others" dashboard rollup (VERDICT r4 Next #7): the output is
+    bounded at (n+1) rows per bucket no matter the key cardinality, while
+    totals stay conserved (Σ value over the output == Σ value over the
+    input bucket — pinned by test).
+
+    Pinned contract: rank by (value_sum DESC, key ASC) — the tie-break is
+    total, so the cut is deterministic and layout-invariant; ``n_keys``
+    counts the distinct keys each output row absorbed (1 for top rows).
+
+    Scale shape: ONE combinable groupBy to (series, bucket, key) — the
+    only pass over raw data — then a rank window over the AGGREGATED
+    table (partition size = keys per bucket) and a second skinny groupBy
+    to fold the tail. The window never sees raw rows; at extreme per-
+    bucket key cardinality the aggregate itself is the state to bound
+    (use cms/heavy-hitters to pre-select candidate keys)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    agg = df.groupBy(
+        *series_cols, b.alias("bucket_start"), F.col(key_col).alias("_key")
+    ).agg(
+        F.sum(F.col(value_col).cast("long")).alias("value_sum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    wd = Window.partitionBy(*series_cols, "bucket_start").orderBy(
+        F.desc("value_sum"), F.asc("_key")
+    )
+    ranked = agg.withColumn("_rk", F.row_number().over(wd))
+    key_out = F.when(
+        F.col("_rk") <= n, F.col("_key").cast("string")
+    ).otherwise(F.lit("__others__"))
+    return ranked.groupBy(
+        *series_cols, "bucket_start", key_out.alias(key_col)
+    ).agg(
+        F.sum("value_sum").alias("value_sum"),
+        F.sum("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     width_s: int,

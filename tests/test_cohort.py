@@ -209,3 +209,71 @@ def test_event_transitions_probabilities_sum_to_one(spark):
 
     cnt = pd.DataFrame(rows, columns=["u", "e", "s", "ts"]).groupby("u").size()
     assert total == int((cnt - 1).sum())
+
+
+def test_cohort_retention_filled_triangle(spark):
+    from rasusa_spark.operators.cohort import cohort_retention_filled
+
+    rows = [
+        # cohort day 0: users 1, 2; activity d0, d1, d3 (d2 is a GAP)
+        (1, T0 + dt.timedelta(hours=5)),
+        (2, T0 + dt.timedelta(hours=9)),
+        (1, T0 + dt.timedelta(days=1, hours=2)),
+        (1, T0 + dt.timedelta(days=3)),
+        # cohort day 2: user 3, returns d+1 (last day = day 3)
+        (3, T0 + dt.timedelta(days=2, hours=1)),
+        (3, T0 + dt.timedelta(days=3, hours=4)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_day, r.day_offset): (r.n_users, r.cohort_size, r.retention_rate)
+        for r in cohort_retention_filled(df).collect()
+    }
+    d0, d2 = T0, T0 + dt.timedelta(days=2)
+    # full triangle: cohort d0 gets offsets 0..3 (zero at 2), cohort d2 0..1
+    assert got == {
+        (d0, 0): (2, 2, 1.0),
+        (d0, 1): (1, 2, 0.5),
+        (d0, 2): (0, 2, 0.0),
+        (d0, 3): (1, 2, 0.5),
+        (d2, 0): (1, 1, 1.0),
+        (d2, 1): (1, 1, 1.0),
+    }
+
+
+def test_cohort_retention_filled_observed_cells_bit_equal(spark):
+    from rasusa_spark.operators.cohort import (
+        cohort_retention,
+        cohort_retention_filled,
+    )
+
+    rng = np.random.default_rng(47)
+    rows = [
+        (int(u), T0 + dt.timedelta(seconds=int(rng.integers(0, 10 * 86400))))
+        for u in rng.integers(0, 40, size=2000)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    base = {
+        (r.cohort_day, r.day_offset): (r.n_users, r.cohort_size, r.retention_rate)
+        for r in cohort_retention(df).collect()
+    }
+    filled = {
+        (r.cohort_day, r.day_offset): (r.n_users, r.cohort_size, r.retention_rate)
+        for r in cohort_retention_filled(df).collect()
+    }
+    # observed cells pass through bit-identical
+    for k, v in base.items():
+        assert filled[k] == v
+    # every extra cell is an explicit zero, and offsets form a dense range
+    import collections
+
+    offsets = collections.defaultdict(set)
+    last_day = dt.datetime.combine(max(ts for _, ts in rows).date(),
+                                   dt.time())
+    for (cd, off), (n, size, rate) in filled.items():
+        offsets[cd].add(off)
+        if (cd, off) not in base:
+            assert n == 0 and rate == 0.0
+    for cd, offs in offsets.items():
+        want_max = (last_day - cd).days
+        assert offs == set(range(0, want_max + 1))
