@@ -56,6 +56,9 @@ HEADLINE = [
     "sessionize",
     "counter_increase_1d",
     "cms_user_counts_1d",
+    "gauge_delta_1d",
+    "topn_users_1d",
+    "cohort_retention_filled",
 ]
 
 
