@@ -439,6 +439,59 @@ def minhash_signatures_oph(
     return out.select(F.col(id_col), F.col("_sig").alias("signature"))
 
 
+def signature_bands(
+    sigs: DataFrame,
+    n_perm: int,
+    n_bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH bucket table from a (id, signature) table: one
+    (id, band, bucket) row per band, bucket = xxhash64 over the band's
+    slice of the signature. Factored out of ``minhash_lsh_pairs`` so the
+    incremental path (streaming/dedup_inc.py) bands new signatures with
+    the EXACT same expression — bit-equal buckets are what make
+    incremental pairs == batch pairs."""
+    rows_per_band = n_perm // n_bands
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("signature"),
+                                    bnd * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def signature_agreement(sig_a, sig_b, n_perm: int):
+    """Estimated Jaccard = fraction of agreeing signature positions —
+    the ONE expression both the batch verifier and the incremental path
+    use (bit-equal doubles)."""
+    return F.size(
+        F.filter(
+            F.zip_with(sig_a, sig_b, lambda p, q: (p == q).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(n_perm))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n_perm: int = 64,
@@ -494,26 +547,7 @@ def minhash_lsh_pairs(
     sigs = build(df, n_perm, shingle_n, seed, text_col, id_col).cache()
     _DEDUP_CACHES.append(sigs)
 
-    bands = sigs.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda bnd: F.struct(
-                    bnd.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("signature"), bnd * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = signature_bands(sigs, n_perm, n_bands, id_col)
 
     cand = (
         bands.alias("x")
@@ -527,12 +561,7 @@ def minhash_lsh_pairs(
     if verify_exact:
         if est_prefilter_margin is not None:
             est_cut = max(0.0, threshold - est_prefilter_margin)
-            agree = F.size(
-                F.filter(
-                    F.zip_with("_siga", "_sigb", lambda p, q: (p == q).cast("int")),
-                    lambda v: v == 1,
-                )
-            ) / F.lit(float(n_perm))
+            agree = signature_agreement(F.col("_siga"), F.col("_sigb"), n_perm)
             cand = (
                 cand.join(
                     sigs.select(
@@ -592,13 +621,7 @@ def minhash_lsh_pairs(
         .join(sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("signature", "sig_b"), "id_b")
         .withColumn(
             "est_jaccard",
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda p, q: (p == q).cast("int")),
-                    lambda v: v == 1,
-                )
-            )
-            / F.lit(float(n_perm)),
+            signature_agreement(F.col("sig_a"), F.col("sig_b"), n_perm),
         )
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")

@@ -20,6 +20,13 @@ at BOTH levels:
   double-count the non-idempotent sum/histogram/CMS carriers (ADVICE r4)
   — is repaired exactly once by ``recover_pending`` on the next run.
 
+With ``--dedup-input <dir>`` the flow also folds unseen DOCUMENT parquet
+files into a persisted minhash signature/band store and appends the
+verified near-dup pairs (streaming/dedup_inc.py) — O(delta) per arrival,
+its own manifest + roll-forward transaction, and the union of emitted
+pairs stays bit-equal to batch ``minhash_lsh_pairs`` over the whole
+corpus no matter how many runs/kills it took (VERDICT r4 Next #8).
+
 Every piece existed since round 2/3; this wires them into one resumable
 job (the job-level resumability story). Run:
 
@@ -76,6 +83,25 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     )
 
 
+def _list_parquet_files_recursive(spark: SparkSession, path: str) -> list[str]:
+    """Recursive variant for arrival-directory layouts (one subdir per
+    delivery, e.g. ``docs/2026-08-18T02/part-*.parquet``) — same
+    driver-side O(files) metadata listing, never row data."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    root = jvm_path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(root):
+        return []
+    out = []
+    it = fs.listFiles(fs.makeQualified(root), True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
 def run_flow(
     spark: SparkSession,
     input_path: str,
@@ -84,6 +110,8 @@ def run_flow(
     bucket_unit: str = "day",
     max_files_per_trigger: int = 1,
     drop_fine_before: str | None = None,
+    dedup_input: str | None = None,
+    dedup_threshold: float = 0.5,
 ) -> dict:
     """One drain-and-merge round; safe to call repeatedly (both stages are
     resumable, see module docstring). Returns counters for observability."""
@@ -189,11 +217,47 @@ def run_flow(
             spark, state, drop_before=drop_fine_before
         ).count()
 
+    # 4. optional O(delta) dedup increment: fold unseen DOCUMENT files
+    # into the persisted minhash signature/band store and append the
+    # verified near-dup pairs (streaming/dedup_inc.py — its own manifest
+    # and roll-forward transaction, same crash posture as the tiers)
+    dedup_new, dedup_pairs = 0, 0
+    if dedup_input is not None:
+        from rasusa_spark.streaming.dedup_inc import (
+            merge_minhash_increment,
+            minhash_pairs_store,
+            recover_pending_dedup,
+        )
+
+        recover_pending_dedup(spark, state)
+        from rasusa_spark.streaming.incremental import (
+            _read_parquet_or_none as _rp,
+        )
+
+        doc_files = _list_parquet_files_recursive(spark, dedup_input)
+        m = _rp(spark, os.path.join(state, "minhash_files"))
+        seen_docs = {r.path for r in m.collect()} if m is not None else set()
+        new_docs = [f for f in doc_files if f not in seen_docs]
+        dedup_new = len(new_docs)
+        if new_docs:
+            pairs = merge_minhash_increment(
+                spark,
+                spark.read.parquet(*new_docs),
+                state,
+                files=new_docs,
+                threshold=dedup_threshold,
+            )
+        else:
+            pairs = minhash_pairs_store(spark, state)
+        dedup_pairs = pairs.count()
+
     return {
         "retained_files": len(all_files),
         "new_files_merged": new_files,
         "tier_1h_buckets": merged_buckets,
         "tier_partitions_dropped": tier_dropped,
+        "dedup_files_merged": dedup_new,
+        "dedup_pairs_total": dedup_pairs,
     }
 
 
@@ -223,6 +287,13 @@ def main() -> None:
         help="day-aligned cutoff: drop 1h tier partitions older than this "
         "once the 1d store covers them bit-for-bit",
     )
+    ap.add_argument(
+        "--dedup-input",
+        default=None,
+        help="directory of document parquet files: fold unseen ones into "
+        "the persisted minhash store (O(delta) near-dup pairs)",
+    )
+    ap.add_argument("--dedup-threshold", type=float, default=0.5)
     args = ap.parse_args()
 
     from rasusa_spark.session import get_spark
@@ -241,12 +312,16 @@ def main() -> None:
         bucket_unit=args.bucket_unit,
         max_files_per_trigger=args.max_files_per_trigger,
         drop_fine_before=args.drop_fine_before,
+        dedup_input=args.dedup_input,
+        dedup_threshold=args.dedup_threshold,
     )
     print(
         f"stream_flow: {stats['new_files_merged']} new retained files merged "
         f"({stats['retained_files']} total), "
         f"{stats['tier_1h_buckets']} 1h buckets in tier, "
-        f"{stats['tier_partitions_dropped']} fine tier partitions dropped"
+        f"{stats['tier_partitions_dropped']} fine tier partitions dropped, "
+        f"{stats['dedup_files_merged']} doc files deduped "
+        f"({stats['dedup_pairs_total']} pairs total)"
     )
     spark.stop()
 

@@ -803,3 +803,166 @@ def test_stream_flow_merge_crash_no_double_count(spark, raw4k, tmp_path, monkeyp
     assert _rows(spark.read.parquet(f"{work}/state/rollup_1h")) == _rows(
         rollup(retained.drop("bucket_start"), "1h")
     )
+
+
+# ---------------------------------------------------------------------------
+# O(delta) incremental minhash dedup (VERDICT r4 Next #8)
+
+
+@pytest.fixture(scope="module")
+def doubled_docs(spark):
+    """sf0.001 documents + exact clones (doc_id + 100000): guarantees
+    cross-increment near-dup pairs at est_jaccard 1.0 on top of the
+    corpus's natural near-dups."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 100000)).cache()
+    df.count()
+    return df
+
+
+def _pairs_rows(df):
+    return sorted((r.id_a, r.id_b, r.est_jaccard) for r in df.collect())
+
+
+def test_incremental_minhash_equals_batch_kill_resume(
+    spark, doubled_docs, tmp_path, monkeypatch
+):
+    """The Next-#8 contract: new-file signatures merged into the persisted
+    store + incremental band join against it, interrupted by an injected
+    crash mid-transaction, must end bit-equal to batch minhash_lsh_pairs
+    over the union corpus — pairs, est_jaccard values and all."""
+    import glob
+    import os
+
+    import rasusa_spark.streaming.dedup_inc as dd
+    from rasusa_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_dedup_caches,
+    )
+
+    state = str(tmp_path / "state")
+    inp = str(tmp_path / "docs")
+    median = 50000  # originals are < 100000; split them at ~half
+    originals = doubled_docs.where(F.col("doc_id") < 100000)
+    med = sorted(r.doc_id for r in originals.select("doc_id").collect())
+    med = med[len(med) // 2]
+    # inc1: first half of originals; inc2: rest of originals + clones of
+    # the first half (cross-increment pairs!); inc3: clones of the rest
+    slices = {
+        "a": doubled_docs.where(F.col("doc_id") < med),
+        "b": doubled_docs.where(
+            (F.col("doc_id") >= med) & (F.col("doc_id") < 100000)
+            | (F.col("doc_id") >= 100000) & (F.col("doc_id") < 100000 + med)
+        ),
+        "c": doubled_docs.where(F.col("doc_id") >= 100000 + med),
+    }
+    files = {}
+    for k, sl in slices.items():
+        sl.coalesce(1).write.parquet(f"{inp}/{k}")
+        files[k] = sorted(glob.glob(f"{inp}/{k}/*.parquet"))
+
+    # increment 1
+    dd.merge_minhash_increment(
+        spark, spark.read.parquet(*files["a"]), state, files=files["a"]
+    )
+    band_files_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{state}/minhash_store/bands/txn=*/shard=*/*.parquet")
+    }
+    assert band_files_before, "increment 1 wrote no band files"
+
+    # increment 2 dies AFTER the intent commits, BEFORE the promote
+    real_promote = dd._txn_promote_dedup
+
+    def dying_promote(spark_, state_path_):
+        raise RuntimeError("injected crash before dedup promote")
+
+    monkeypatch.setattr(dd, "_txn_promote_dedup", dying_promote)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dd.merge_minhash_increment(
+            spark, spark.read.parquet(*files["b"]), state, files=files["b"]
+        )
+    monkeypatch.setattr(dd, "_txn_promote_dedup", real_promote)
+    assert os.path.exists(f"{state}/minhash_txn_intent/_SUCCESS")
+
+    # resume: the prepared txn rolls forward exactly once; re-merging the
+    # same files afterwards is refused (manifest guard)
+    assert dd.recover_pending_dedup(spark, state) is True
+    assert not os.path.exists(f"{state}/minhash_txn_intent")
+    with pytest.raises(ValueError, match="already in the minhash manifest"):
+        dd.merge_minhash_increment(
+            spark, spark.read.parquet(*files["b"]), state, files=files["b"]
+        )
+
+    # increment 3 (store geometry change must be refused first)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        dd.merge_minhash_increment(
+            spark,
+            spark.read.parquet(*files["c"]),
+            state,
+            files=files["c"],
+            n_bands=16,
+        )
+    got = dd.merge_minhash_increment(
+        spark, spark.read.parquet(*files["c"]), state, files=files["c"]
+    )
+
+    # O(delta): increments never rewrite earlier txns' band files
+    for p, mtime in band_files_before.items():
+        assert os.path.getmtime(p) == mtime, f"prior txn band rewritten: {p}"
+
+    # the union of incrementally-emitted pairs == batch LSH over the whole
+    # corpus, bit-equal (same signature/banding/agreement expressions)
+    batch = minhash_lsh_pairs(doubled_docs, n_perm=64, n_bands=32, threshold=0.5)
+    assert _pairs_rows(got) == _pairs_rows(batch)
+    release_dedup_caches()
+    # clone pairs all present at est 1.0
+    clone_pairs = {(a, b) for a, b, e in _pairs_rows(got) if e == 1.0}
+    n_docs = doubled_docs.count() // 2
+    ids = [r.doc_id for r in doubled_docs.where(F.col("doc_id") < 100000).select("doc_id").collect()]
+    missing = [i for i in ids if (i, i + 100000) not in clone_pairs]
+    assert not missing
+
+
+def test_stream_flow_dedup_stage(spark, doubled_docs, tmp_path):
+    """Job-level wiring: run_flow with --dedup-input folds unseen document
+    files across two runs; the final pairs store equals batch LSH and the
+    third run is a pure no-op."""
+    import glob
+
+    from rasusa_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_dedup_caches,
+    )
+    from rasusa_spark.streaming.dedup_inc import minhash_pairs_store
+    from rasusa_spark.synth import tokens_raw_df
+
+    flow = _load_flow()
+    inp = str(tmp_path / "fin")
+    docs_in = str(tmp_path / "fdocs")
+    work = str(tmp_path / "fwork")
+    raw = tokens_raw_df(spark, 500, with_tokens=False, partitions=2)
+    raw.coalesce(1).write.parquet(f"{inp}/a")
+
+    half = doubled_docs.where(F.col("doc_id") < 100000)
+    rest = doubled_docs.where(F.col("doc_id") >= 100000)
+    half.coalesce(1).write.parquet(f"{docs_in}/a")
+    s1 = flow.run_flow(
+        spark, f"{inp}/*", work, 100_000, dedup_input=docs_in
+    )
+    assert s1["dedup_files_merged"] == 1
+
+    rest.coalesce(1).write.parquet(f"{docs_in}/b")
+    s2 = flow.run_flow(
+        spark, f"{inp}/*", work, 100_000, dedup_input=docs_in
+    )
+    assert s2["dedup_files_merged"] == 1
+
+    got = minhash_pairs_store(spark, f"{work}/state")
+    batch = minhash_lsh_pairs(doubled_docs, n_perm=64, n_bands=32, threshold=0.5)
+    assert _pairs_rows(got) == _pairs_rows(batch)
+    release_dedup_caches()
+
+    s3 = flow.run_flow(spark, f"{inp}/*", work, 100_000, dedup_input=docs_in)
+    assert s3["dedup_files_merged"] == 0
+    assert s3["dedup_pairs_total"] == s2["dedup_pairs_total"]
