@@ -546,6 +546,55 @@ def q_topn_users_1d(spark, sf_dir):
     ).select("bucket_start", "user_id", "value_sum", "n_rows", "n_keys")
 
 
+def q_gauge_deriv_1d(spark, sf_dir):
+    """PromQL deriv(): per-(event_type, day) least-squares slope of the
+    metric over time (operators/timeseries.py:gauge_deriv) — five integer
+    sufficient statistics in ONE combinable groupBy, slope as a single
+    scalar double expression mirrored by the oracle bit-for-bit."""
+    from rasusa_spark.operators.timeseries import gauge_deriv
+
+    ev = _events_cents(spark, sf_dir)
+    return gauge_deriv(
+        ev, 86400, series_cols=("event_type",), value_col="n_tok"
+    ).select("event_type", "bucket_start", "n_samples", "slope_per_s")
+
+
+def q_heavy_hitters_1d(spark, sf_dir):
+    """Exact phi-heavy hitters per day (operators/timeseries.py:
+    heavy_hitters): users with >= 1% of the day's events, plus count,
+    bucket total, and share — the bounded candidate set cms_estimate's
+    probe contract asks for. Only data-scale exchange: one combinable
+    (bucket, user) count."""
+    from rasusa_spark.operators.timeseries import heavy_hitters
+
+    ev = _load(spark, sf_dir, "events")
+    return heavy_hitters(ev, 86400, 0.01, key_col="user_id").select(
+        "bucket_start", "user_id", "key_count", "bucket_total", "share"
+    )
+
+
+def q_hist_quantile_1d(spark, sf_dir):
+    """Quantile ESTIMATES from the mergeable log2-histogram tier: 1h
+    sketches cascaded to 1d (bit-equal cascade proven by
+    hist_rerolled_1d), then p50/p95 via the cumulative bin walk + linear
+    interpolation (functions/histsketch.py:histogram_quantile, Prometheus
+    histogram_quantile semantics). The oracle rebuilds the bins from raw
+    events and evaluates the SAME interpolation expression — proving the
+    estimator, not just the carrier, cross-engine."""
+    from rasusa_spark.functions.histsketch import (
+        histogram_quantile,
+        histogram_rollup,
+        histogram_rollup_from_finer,
+    )
+
+    ev = _events_cents(spark, sf_dir)
+    h1 = histogram_rollup(ev, "1h", group_cols=("event_type",))
+    d1 = histogram_rollup_from_finer(h1, "1d", group_cols=("event_type",))
+    return histogram_quantile(d1, probs=(0.5, 0.95)).select(
+        "event_type", "bucket_start", "q50_est", "q95_est"
+    )
+
+
 def q_cohort_retention_filled(spark, sf_dir):
     """Retention triangle with zero-activity cells gap-filled
     (operators/cohort.py:cohort_retention_filled): spine = per-cohort
@@ -1163,6 +1212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_increase_1d": q_counter_increase_1d,
         "time_weighted_avg_1h": q_time_weighted_avg_1h,
         "gauge_delta_1d": q_gauge_delta_1d,
+        "gauge_deriv_1d": q_gauge_deriv_1d,
+        "heavy_hitters_1d": q_heavy_hitters_1d,
+        "hist_quantile_1d": q_hist_quantile_1d,
         "topn_users_1d": q_topn_users_1d,
         "cohort_retention_filled": q_cohort_retention_filled,
         "hist_rerolled_1d": q_hist_rerolled_1d,
@@ -1856,6 +1908,76 @@ SELECT event_type, bucket_start, CAST(v_first AS BIGINT) AS v_first,
        CAST(v_last - v_first AS BIGINT) AS delta, n_samples,
        CAST(v_last - v_first AS DOUBLE) / 86400.0 AS rate_per_s
 FROM a
+""",
+        "gauge_deriv_1d": f"""
+WITH ev AS ({_EV_CENTS}),
+b AS (SELECT event_type, {_tb_sql(86400)} AS bucket_start, ts,
+             CAST(n_tok AS BIGINT) AS v FROM ev),
+t AS (SELECT event_type, bucket_start,
+             (epoch_us(ts) - epoch_us(bucket_start)) // 1000000 AS tt, v
+      FROM b),
+a AS (SELECT event_type, bucket_start, count(*) AS n_samples,
+             CAST(sum(tt) AS BIGINT) AS st, CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(tt*v) AS BIGINT) AS stv,
+             CAST(sum(tt*tt) AS BIGINT) AS stt
+      FROM t GROUP BY 1, 2)
+SELECT event_type, bucket_start, n_samples,
+       CASE WHEN n_samples >= 2 AND
+                 CAST(n_samples AS DOUBLE)*CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE)*CAST(st AS DOUBLE) <> 0.0
+            THEN (CAST(n_samples AS DOUBLE)*CAST(stv AS DOUBLE)
+                  - CAST(st AS DOUBLE)*CAST(sv AS DOUBLE))
+                 / (CAST(n_samples AS DOUBLE)*CAST(stt AS DOUBLE)
+                    - CAST(st AS DOUBLE)*CAST(st AS DOUBLE))
+            ELSE NULL END AS slope_per_s
+FROM a
+""",
+        "heavy_hitters_1d": f"""
+WITH c AS (SELECT {_tb_sql(86400)} AS bucket_start, user_id,
+                  count(*) AS key_count FROM events GROUP BY 1, 2),
+t AS (SELECT bucket_start, CAST(sum(key_count) AS BIGINT) AS bucket_total
+      FROM c GROUP BY 1)
+SELECT c.bucket_start, c.user_id, c.key_count, t.bucket_total,
+       CAST(c.key_count AS DOUBLE) / CAST(t.bucket_total AS DOUBLE) AS share
+FROM c JOIN t USING (bucket_start)
+WHERE CAST(c.key_count AS DOUBLE) >= 0.01 * CAST(t.bucket_total AS DOUBLE)
+""",
+        "hist_quantile_1d": f"""
+WITH ev AS ({_EV_CENTS}),
+binned AS (SELECT event_type, date_trunc('day', ts) AS bucket_start,
+                  CASE WHEN n_tok <= 0 THEN 0
+                       ELSE length(printf('%b', n_tok)) END AS bin
+           FROM ev),
+h AS (SELECT event_type, bucket_start, bin, count(*) AS cnt
+      FROM binned GROUP BY 1, 2, 3),
+tot AS (SELECT event_type, bucket_start, CAST(sum(cnt) AS BIGINT) AS total
+        FROM h GROUP BY 1, 2),
+cum AS (SELECT h.*, CAST(sum(cnt) OVER (PARTITION BY event_type, bucket_start
+                    ORDER BY bin) AS BIGINT) AS cum FROM h),
+sel AS (SELECT c.event_type, c.bucket_start, p.p, min(c.bin) AS b
+        FROM cum c JOIN tot t USING (event_type, bucket_start),
+             (VALUES (0.5), (0.95)) AS p(p)
+        WHERE CAST(c.cum AS DOUBLE) >= p.p * CAST(t.total AS DOUBLE)
+        GROUP BY 1, 2, 3),
+est AS (SELECT s.event_type, s.bucket_start, s.p,
+               round(
+                 (CASE WHEN s.b <= 0 THEN 0.0 ELSE pow(2.0, s.b - 1) END)
+                 + ((s.p * CAST(t.total AS DOUBLE)
+                     - CAST(c.cum - c.cnt AS DOUBLE)) / CAST(c.cnt AS DOUBLE))
+                   * ((CASE WHEN s.b <= 0 THEN 0.0 ELSE pow(2.0, s.b) END)
+                      - (CASE WHEN s.b <= 0 THEN 0.0
+                         ELSE pow(2.0, s.b - 1) END)), 6) AS est
+        FROM sel s
+        JOIN cum c ON c.event_type = s.event_type
+                  AND c.bucket_start = s.bucket_start AND c.bin = s.b
+        JOIN tot t ON t.event_type = s.event_type
+                  AND t.bucket_start = s.bucket_start)
+SELECT e50.event_type, e50.bucket_start,
+       e50.est AS q50_est, e95.est AS q95_est
+FROM (SELECT * FROM est WHERE p = 0.5) e50
+JOIN (SELECT * FROM est WHERE p = 0.95) e95
+  ON e50.event_type = e95.event_type
+ AND e50.bucket_start = e95.bucket_start
 """,
         "topn_users_1d": f"""
 WITH ev AS ({_EV_CENTS}),

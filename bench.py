@@ -57,6 +57,9 @@ HEADLINE = [
     "counter_increase_1d",
     "cms_user_counts_1d",
     "gauge_delta_1d",
+    "gauge_deriv_1d",
+    "heavy_hitters_1d",
+    "hist_quantile_1d",
     "topn_users_1d",
     "cohort_retention_filled",
 ]

@@ -823,6 +823,127 @@ def topn_rollup(
     )
 
 
+def gauge_deriv(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """Per-(series, bucket) least-squares slope of value over time — the
+    public PromQL ``deriv()`` semantics (simple linear regression), in
+    value-units per second.
+
+    Pinned cross-engine contract: the regression runs over INTEGER
+    carriers — t = whole seconds since the bucket start (``floor``;
+    sub-second phase within a second is deliberately ignored, stated
+    resolution), v = int64 value — so the five sufficient statistics
+    (n, Σt, Σv, Σtv, Σt²) are exact integer sums (order-independent,
+    ANSI-guarded: an overflow THROWS rather than silently wrapping; with
+    t ≤ width ≤ 86400 the Σt² headroom is ~1.2e9 rows per bucket). Only
+    the final per-group scalar expression runs in IEEE doubles —
+    ``slope = (n·Σtv − Σt·Σv) / (n·Σt² − (Σt)²)`` — the same expression
+    tree the DuckDB oracle evaluates, so the doubles match bit-for-bit.
+    Buckets with < 2 samples or zero time-variance emit null slope.
+
+    Scale shape: ONE map-side-combinable groupBy carrying five integer
+    aggregates — the same single (series, bucket) exchange as every
+    other tier, and the statistics are exactly mergeable to coarser
+    buckets only when re-based (t is bucket-relative), so re-rolls
+    recompute from the finer tier's carriers re-expressed against the
+    coarser origin (not implemented until a consumer needs it)."""
+    b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bus = F.unix_micros(F.col("bucket_start").cast("timestamp"))
+    v = F.col(value_col).cast("long")
+    agg = (
+        df.withColumn("bucket_start", b)
+        .withColumn("_t", ((us - bus) / F.lit(1_000_000)).cast("long"))
+        .groupBy(*series_cols, "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("_t").alias("_st"),
+            F.sum(v).alias("_sv"),
+            F.sum(F.col("_t") * v).alias("_stv"),
+            F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
+        )
+    )
+    n = F.col("n_samples").cast("double")
+    st = F.col("_st").cast("double")
+    sv = F.col("_sv").cast("double")
+    stv = F.col("_stv").cast("double")
+    stt = F.col("_stt").cast("double")
+    den = n * stt - st * st
+    slope = F.when(
+        (F.col("n_samples") >= 2) & (den != F.lit(0.0)),
+        (n * stv - st * sv) / den,
+    )
+    return agg.select(
+        *series_cols,
+        "bucket_start",
+        "n_samples",
+        slope.alias("slope_per_s"),
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    width_s: int,
+    phi: float,
+    *,
+    key_col: str = "user_id",
+    series_cols: tuple[str, ...] | list[str] = (),
+    ts_col: str = "ts",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """EXACT φ-heavy hitters per (series, bucket): every key whose row
+    count is ≥ φ × the bucket's total rows, with its count and share —
+    the Misra-Gries/SpaceSaving guarantee delivered exactly, because on
+    this engine the frequency table is one combinable aggregate, not a
+    bounded-memory stream summary.
+
+    Scale shape: the ONLY data-scale exchange is the combinable
+    groupBy(series, bucket, key) count (map-side partials shrink it to
+    one row per distinct key per partition); the per-bucket totals are a
+    second combinable agg over that ALREADY-AGGREGATED table (sum of
+    counts == row total, so raw data is touched once), and the φ filter
+    is a broadcast-sized join of two aggregate tables. Output is the
+    natural candidate set the CMS probe contract asks for
+    (functions/cms.py:cms_estimate "enumerate the heavy-hitter
+    candidates first") — at φ ≥ 1e-4 it is bounded at 1/φ rows per
+    bucket by construction. Deterministic: exact integer counts, no
+    tie-break needed (the φ cut keeps ALL keys at the threshold)."""
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    counts = df.groupBy(
+        *series_cols, b.alias("bucket_start"), F.col(key_col).alias(key_col)
+    ).agg(F.count(F.lit(1)).alias("key_count"))
+    totals = counts.groupBy(*series_cols, "bucket_start").agg(
+        F.sum("key_count").alias("bucket_total")
+    )
+    return (
+        counts.join(totals, on=[*series_cols, "bucket_start"])
+        .where(
+            F.col("key_count").cast("double")
+            >= F.lit(float(phi)) * F.col("bucket_total").cast("double")
+        )
+        .select(
+            *series_cols,
+            "bucket_start",
+            key_col,
+            "key_count",
+            "bucket_total",
+            (
+                F.col("key_count").cast("double")
+                / F.col("bucket_total").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     width_s: int,

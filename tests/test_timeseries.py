@@ -948,3 +948,121 @@ def test_topn_rollup_conserves_totals_and_bounds_rows(spark):
         df.repartition(17), 3600, n, key_col="source", value_col="n_tok"
     ).collect()
     assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+def test_gauge_deriv_manual_and_numpy(spark):
+    from rasusa_spark.operators.timeseries import gauge_deriv
+
+    # simple exact line: v = 10 + 2*t  -> slope exactly 2.0
+    rows = [
+        ("a", T0 + dt.timedelta(seconds=t), 10 + 2 * t) for t in (0, 30, 60, 90)
+    ] + [
+        ("b", T0 + dt.timedelta(seconds=5), 999),  # singleton -> null
+        ("c", T0 + dt.timedelta(seconds=7), 1),  # zero time-variance
+        ("c", T0 + dt.timedelta(seconds=7), 5),
+    ]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, n_tok int")
+    out = {
+        r.source: (r.n_samples, r.slope_per_s)
+        for r in gauge_deriv(df, 3600, series_cols=("source",)).collect()
+    }
+    assert out["a"] == (4, 2.0)
+    assert out["b"] == (1, None)
+    assert out["c"] == (2, None)
+
+    # random series vs numpy polyfit-style closed form
+    big = _series_df(spark, n=300, seed=23)
+    got = {
+        (r.source, r.bucket_start): r.slope_per_s
+        for r in gauge_deriv(big, 3600, series_cols=("source",)).collect()
+    }
+    pdf = big.toPandas()
+    o_us = 946_857_600 * 1_000_000
+    ts = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+    pdf["bk"] = o_us + ((ts - o_us) // 3_600_000_000) * 3_600_000_000
+    pdf["t"] = (ts - pdf["bk"]) // 1_000_000
+    for (src, bk), g in pdf.groupby(["source", "bk"]):
+        t = g["t"].to_numpy().astype("int64")
+        v = g["n_tok"].to_numpy().astype("int64")
+        key = (src, np.datetime64(int(bk), "us").astype("datetime64[us]").item())
+        n = len(t)
+        den = float(n) * float((t * t).sum()) - float(t.sum()) * float(t.sum())
+        if n < 2 or den == 0.0:
+            assert got[key] is None
+            continue
+        exp = (float(n) * float((t * v).sum()) - float(t.sum()) * float(v.sum())) / den
+        assert got[key] == pytest.approx(exp, rel=1e-12)
+
+
+def test_heavy_hitters_exact_and_bounded(spark):
+    from rasusa_spark.operators.timeseries import heavy_hitters
+
+    rng = np.random.default_rng(29)
+    # zipf-ish: user u appears ~ 1/(u+1) — a few dominate
+    users = (1.0 / rng.random(3000) ** 0.7).astype("int64") % 40
+    rows = [
+        (int(u), T0 + dt.timedelta(seconds=int(rng.integers(0, 2 * 86400))))
+        for u in users
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    phi = 0.05
+    out = heavy_hitters(df, 86400, phi, key_col="user_id").collect()
+    import collections
+
+    # exact reference
+    cnt = collections.Counter()
+    tot = collections.Counter()
+    o_us = 946_857_600 * 1_000_000
+    for u, ts in rows:
+        us = int(np.datetime64(ts, "us").astype("int64"))
+        bk = o_us + ((us - o_us) // 86_400_000_000) * 86_400_000_000
+        cnt[(bk, u)] += 1
+        tot[bk] += 1
+    exp = {
+        (bk, u): (c, tot[bk], c / tot[bk])
+        for (bk, u), c in cnt.items()
+        if float(c) >= phi * float(tot[bk])
+    }
+    got = {
+        (
+            int(np.datetime64(r.bucket_start, "us").astype("int64")),
+            r.user_id,
+        ): (r.key_count, r.bucket_total, r.share)
+        for r in out
+    }
+    assert got == exp
+    # bounded output: at most 1/phi keys per bucket
+    per_bucket = collections.Counter(bk for bk, _ in got)
+    assert max(per_bucket.values()) <= int(1 / phi)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, 86400, 0.0)
+
+
+def test_heavy_hitters_feed_cms_estimate_guarantee(spark):
+    """Composition: the heavy-hitter set is a valid bounded candidate
+    side for cms_estimate, and est >= true for every candidate."""
+    from rasusa_spark.functions.cms import cms_estimate, cms_partials
+    from rasusa_spark.operators.timeseries import heavy_hitters
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (int(u), T0 + dt.timedelta(seconds=int(rng.integers(0, 86400))))
+        for u in rng.integers(0, 30, size=2000)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp").withColumn(
+        "source", F.lit("s")
+    )
+    hh = heavy_hitters(df, 86400, 0.02, key_col="user_id")
+    cms = cms_partials(df, "1d", item_col="user_id", group_cols=("source",))
+    cands = hh.select(F.col("user_id").cast("string").alias("item")).distinct()
+    est = {
+        r.item: r.est
+        for r in cms_estimate(
+            cms, cands, item_col="item", group_cols=("source",)
+        ).collect()
+    }
+    true = {
+        str(r.user_id): r.key_count for r in hh.collect()
+    }
+    for item, t in true.items():
+        assert est[item] >= t
