@@ -743,7 +743,11 @@ def gauge_delta(
 
     Scale shape: ONE map-side-combinable groupBy (``min_by``/``max_by``
     on the composite order key — no window, no per-series sort), i.e. the
-    same single (series, bucket) exchange as every other tier."""
+    same single (series, bucket) exchange as every other tier. Plan note
+    (PLANS.md): the struct-typed min_by buffer makes Spark pick
+    SortAggregate over HashAggregate — still partial+final around one
+    exchange (map-side combine intact); the within-partition sort on the
+    group key is the price of the composite order key."""
     v = F.col(value_col).cast("long")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     okey = F.struct(us.alias("u"), F.col(id_col).alias("i"))

@@ -304,6 +304,75 @@ def main() -> None:
          grab(cms_estimate(d1, cand, item_col="item")))
     )
 
+    from rasusa_spark.operators.timeseries import (
+        gauge_delta,
+        gauge_deriv,
+        heavy_hitters,
+        topn_rollup,
+    )
+
+    sections.append(
+        ("gauge delta (ONE combinable min_by/max_by groupBy on the "
+         "(ts, id) order key — no window, no per-series sort)",
+         grab(gauge_delta(sel, 3600, series_cols=("source",),
+                          value_col="n_tok", id_col="doc_id")))
+    )
+    sections.append(
+        ("gauge deriv (five integer sufficient statistics in ONE "
+         "combinable groupBy; slope = scalar double projection)",
+         grab(gauge_deriv(sel, 3600, series_cols=("source",),
+                          value_col="n_tok")))
+    )
+    sections.append(
+        ("top-N + __others__ rollup (combinable (bucket, key) groupBy -> "
+         "rank window over the AGGREGATED table only -> skinny fold)",
+         grab(topn_rollup(sel, 3600, 3, key_col="source",
+                          value_col="n_tok")))
+    )
+    sections.append(
+        ("exact heavy hitters (combinable (bucket, key) count is the only "
+         "data-scale exchange; totals = second agg over the aggregate; "
+         "phi filter joins two aggregate tables)",
+         grab(heavy_hitters(sel, 3600, 0.01, key_col="source")))
+    )
+    from rasusa_spark.operators.cohort import cohort_retention_filled
+
+    sections.append(
+        ("gap-filled retention triangle (spine = sequence explode from "
+         "the cohort DIM + one-row broadcast last-day; left join fills "
+         "zeros — raw events touched once, by cohort_retention)",
+         grab(cohort_retention_filled(
+             sel.withColumn("user_id", F.col("doc_id")))))
+    )
+
+    # incremental dedup store probe: write a tiny store, then show the
+    # shard PartitionFilters pruning on the stored-bands read
+    from rasusa_spark.streaming.dedup_inc import merge_minhash_increment
+
+    docs_loc = "/tmp/rasusa_plan_audit_docs"
+    ded_state = "/tmp/rasusa_plan_audit_dedup"
+    import shutil
+
+    shutil.rmtree(ded_state, ignore_errors=True)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    shutil.rmtree(docs_loc, ignore_errors=True)
+    docs.coalesce(1).write.parquet(docs_loc)
+    import glob as _glob
+
+    dfiles = sorted(_glob.glob(f"{docs_loc}/*.parquet"))
+    merge_minhash_increment(spark, docs, ded_state, files=dfiles)
+    stored = spark.read.parquet(os.path.join(ded_state,
+                                             "minhash_store", "bands"))
+    probe = stored.where(F.col("shard").isin([0, 1, 2, 3])).groupBy(
+        "band", "bucket"
+    ).count()
+    sections.append(
+        ("incremental dedup store probe (bands/txn=*/shard=* layout: the "
+         "new-batch band join reads ONLY touched shards — look for "
+         "PartitionFilters on `shard`)",
+         grab(probe))
+    )
+
     out = ["# PLANS — physical-plan audit (auto-generated by scripts/explain_audit.py)",
            "",
            "What to look for: `ReadSchema` never includes `tokens` on selection",
