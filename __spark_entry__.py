@@ -559,6 +559,29 @@ def q_gauge_deriv_1d(spark, sf_dir):
     ).select("event_type", "bucket_start", "n_samples", "slope_per_s")
 
 
+def q_deriv_rerolled_1d(spark, sf_dir):
+    """Regression-tier cascade: 1h deriv sufficient statistics re-based
+    and re-rolled to 1d (operators/timeseries.py:deriv_from_finer — pure
+    integer moment algebra, raw untouched), then the shared slope
+    finalizer. The oracle computes the 1d slope DIRECTLY from raw events
+    — equality proves the re-basing algebra cross-engine, the regression
+    analog of rollup_rerolled_1d."""
+    from rasusa_spark.operators.timeseries import (
+        _deriv_finalize,
+        deriv_from_finer,
+        deriv_partials,
+    )
+
+    ev = _events_cents(spark, sf_dir)
+    p1h = deriv_partials(
+        ev, 3600, series_cols=("event_type",), value_col="n_tok"
+    )
+    p1d = deriv_from_finer(p1h, 86400, series_cols=("event_type",))
+    return _deriv_finalize(p1d, ("event_type",)).select(
+        "event_type", "bucket_start", "n_samples", "slope_per_s"
+    )
+
+
 def q_heavy_hitters_1d(spark, sf_dir):
     """Exact phi-heavy hitters per day (operators/timeseries.py:
     heavy_hitters): users with >= 1% of the day's events, plus count,
@@ -1213,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg_1h": q_time_weighted_avg_1h,
         "gauge_delta_1d": q_gauge_delta_1d,
         "gauge_deriv_1d": q_gauge_deriv_1d,
+        "deriv_rerolled_1d": q_deriv_rerolled_1d,
         "heavy_hitters_1d": q_heavy_hitters_1d,
         "hist_quantile_1d": q_hist_quantile_1d,
         "topn_users_1d": q_topn_users_1d,
@@ -1910,6 +1934,29 @@ SELECT event_type, bucket_start, CAST(v_first AS BIGINT) AS v_first,
 FROM a
 """,
         "gauge_deriv_1d": f"""
+WITH ev AS ({_EV_CENTS}),
+b AS (SELECT event_type, {_tb_sql(86400)} AS bucket_start, ts,
+             CAST(n_tok AS BIGINT) AS v FROM ev),
+t AS (SELECT event_type, bucket_start,
+             (epoch_us(ts) - epoch_us(bucket_start)) // 1000000 AS tt, v
+      FROM b),
+a AS (SELECT event_type, bucket_start, count(*) AS n_samples,
+             CAST(sum(tt) AS BIGINT) AS st, CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(tt*v) AS BIGINT) AS stv,
+             CAST(sum(tt*tt) AS BIGINT) AS stt
+      FROM t GROUP BY 1, 2)
+SELECT event_type, bucket_start, n_samples,
+       CASE WHEN n_samples >= 2 AND
+                 CAST(n_samples AS DOUBLE)*CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE)*CAST(st AS DOUBLE) <> 0.0
+            THEN (CAST(n_samples AS DOUBLE)*CAST(stv AS DOUBLE)
+                  - CAST(st AS DOUBLE)*CAST(sv AS DOUBLE))
+                 / (CAST(n_samples AS DOUBLE)*CAST(stt AS DOUBLE)
+                    - CAST(st AS DOUBLE)*CAST(st AS DOUBLE))
+            ELSE NULL END AS slope_per_s
+FROM a
+""",
+        "deriv_rerolled_1d": f"""
 WITH ev AS ({_EV_CENTS}),
 b AS (SELECT event_type, {_tb_sql(86400)} AS bucket_start, ts,
              CAST(n_tok AS BIGINT) AS v FROM ev),

@@ -854,15 +854,41 @@ def gauge_deriv(
 
     Scale shape: ONE map-side-combinable groupBy carrying five integer
     aggregates — the same single (series, bucket) exchange as every
-    other tier, and the statistics are exactly mergeable to coarser
-    buckets only when re-based (t is bucket-relative), so re-rolls
-    recompute from the finer tier's carriers re-expressed against the
-    coarser origin (not implemented until a consumer needs it)."""
+    other tier. The statistics are exactly MERGEABLE to coarser buckets
+    via re-basing (``deriv_from_finer``): t is bucket-relative, so a
+    fine bucket at offset Δ seconds into the coarse bucket contributes
+    Σt' = Σt + nΔ, Σt'² = Σt² + 2ΔΣt + nΔ², Σt'v = Σtv + ΔΣv — pure
+    integer algebra, so the cascaded slope is bit-equal to computing
+    directly from raw (pinned by test + the deriv_rerolled_1d oracle)."""
+    agg = deriv_partials(
+        df,
+        width_s,
+        series_cols=series_cols,
+        ts_col=ts_col,
+        value_col=value_col,
+        origin_s=origin_s,
+    )
+    return _deriv_finalize(agg, series_cols)
+
+
+def deriv_partials(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """The regression tier's STATE: per-(series, bucket) integer
+    sufficient statistics (n_samples, Σt, Σv, Σtv, Σt²) with t = whole
+    seconds since the bucket start. One combinable groupBy; see
+    ``gauge_deriv`` for the contract."""
     b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     bus = F.unix_micros(F.col("bucket_start").cast("timestamp"))
     v = F.col(value_col).cast("long")
-    agg = (
+    return (
         df.withColumn("bucket_start", b)
         .withColumn("_t", ((us - bus) / F.lit(1_000_000)).cast("long"))
         .groupBy(*series_cols, "bucket_start")
@@ -874,6 +900,59 @@ def gauge_deriv(
             F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
         )
     )
+
+
+def deriv_from_finer(
+    partials: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """Re-roll deriv statistics from a finer tier to ``width_s`` buckets
+    WITHOUT touching raw data — the O(delta)/tier-cascade story for the
+    regression carrier. Each fine bucket sits at integer offset
+    Δ = fine_start − coarse_start seconds; re-basing its t-moments is
+    exact integer algebra (see ``gauge_deriv``), then one combinable
+    groupBy sums the re-based carriers. Output schema == deriv_partials
+    at ``width_s``, and the values are bit-identical to building the
+    coarse tier from raw (ANSI guards any Σt'² overflow loudly)."""
+    b = time_bucket_expr(width_s, "bucket_start", origin_s=origin_s)
+    fine_us = F.unix_micros(F.col("bucket_start").cast("timestamp"))
+    coarse_us = F.unix_micros(F.col("_coarse").cast("timestamp"))
+    d = ((fine_us - coarse_us) / F.lit(1_000_000)).cast("long")
+    n = F.col("n_samples")
+    rebased = (
+        partials.withColumn("_coarse", b)
+        .withColumn("_d", d)
+        .select(
+            *series_cols,
+            F.col("_coarse").alias("bucket_start"),
+            n.alias("n_samples"),
+            (F.col("_st") + n * F.col("_d")).alias("_st"),
+            F.col("_sv"),
+            (F.col("_stv") + F.col("_d") * F.col("_sv")).alias("_stv"),
+            (
+                F.col("_stt")
+                + F.lit(2) * F.col("_d") * F.col("_st")
+                + n * F.col("_d") * F.col("_d")
+            ).alias("_stt"),
+        )
+    )
+    return rebased.groupBy(*series_cols, "bucket_start").agg(
+        F.sum("n_samples").alias("n_samples"),
+        F.sum("_st").alias("_st"),
+        F.sum("_sv").alias("_sv"),
+        F.sum("_stv").alias("_stv"),
+        F.sum("_stt").alias("_stt"),
+    )
+
+
+def _deriv_finalize(
+    agg: DataFrame, series_cols: tuple[str, ...] | list[str]
+) -> DataFrame:
+    """Shared slope finalizer: the ONE scalar double expression both
+    tiers (and the DuckDB oracle) evaluate."""
     n = F.col("n_samples").cast("double")
     st = F.col("_st").cast("double")
     sv = F.col("_sv").cast("double")

@@ -1066,3 +1066,37 @@ def test_heavy_hitters_feed_cms_estimate_guarantee(spark):
     }
     for item, t in true.items():
         assert est[item] >= t
+
+
+def test_deriv_cascade_bit_equal_to_direct(spark):
+    """deriv_from_finer re-bases the integer moments exactly: cascading
+    1h -> 1d statistics then finalizing must equal gauge_deriv computed
+    directly from raw at 1d, bit-for-bit (slope doubles included), and
+    be layout-invariant."""
+    from rasusa_spark.operators.timeseries import (
+        _deriv_finalize,
+        deriv_from_finer,
+        deriv_partials,
+        gauge_deriv,
+    )
+
+    df = _series_df(spark, n=600, seed=37)
+    direct = {
+        (r.source, r.bucket_start): (r.n_samples, r.slope_per_s)
+        for r in gauge_deriv(df, 86400, series_cols=("source",)).collect()
+    }
+    p1h = deriv_partials(df, 3600, series_cols=("source",))
+    p1d = deriv_from_finer(p1h, 86400, series_cols=("source",))
+    cascaded = {
+        (r.source, r.bucket_start): (r.n_samples, r.slope_per_s)
+        for r in _deriv_finalize(p1d, ("source",)).collect()
+    }
+    assert cascaded == direct  # exact, including float bit-equality
+    p1d_b = deriv_from_finer(
+        p1h.repartition(9), 86400, series_cols=("source",)
+    )
+    cascaded_b = {
+        (r.source, r.bucket_start): (r.n_samples, r.slope_per_s)
+        for r in _deriv_finalize(p1d_b, ("source",)).collect()
+    }
+    assert cascaded_b == cascaded
