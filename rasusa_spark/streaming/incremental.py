@@ -509,6 +509,53 @@ def merge_distinct_increment(
     )
 
 
+_TIER_SECONDS = {"1h": 3600, "1d": 86400, "15m": 900, "1m": 60}
+
+
+def merge_deriv_increment(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    state_path: str,
+    tier: str = "1h",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    value_col: str = "n_tok",
+    allow_late: bool = False,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """O(delta) incremental maintenance of the REGRESSION tier
+    (operators/timeseries.py:deriv_partials — the gauge_deriv carrier):
+    state is the five integer sufficient statistics per (group, bucket);
+    the merge is plain integer addition per statistic (t is relative to
+    the bucket start, which is identical across increments of the same
+    tier, so the moments add exactly) — batch ≡ incremental bit-for-bit,
+    and the stored tier cascades to coarser buckets via deriv_from_finer
+    without touching raw. Same watermark + partition-pruned rewrite +
+    roll-forward transaction machinery as the other four carriers."""
+    from ..operators.timeseries import deriv_partials
+
+    group_cols = list(group_cols)
+    inc = deriv_partials(
+        new_rows,
+        _TIER_SECONDS[tier],
+        series_cols=group_cols,
+        value_col=value_col,
+    )
+
+    def remerge(union: DataFrame) -> DataFrame:
+        return union.groupBy(*group_cols, "bucket_start").agg(
+            F.sum("n_samples").alias("n_samples"),
+            F.sum("_st").alias("_st"),
+            F.sum("_sv").alias("_sv"),
+            F.sum("_stv").alias("_stv"),
+            F.sum("_stt").alias("_stt"),
+        )
+
+    return _merge_increment(
+        spark, inc, state_path, f"deriv_{tier}", group_cols, remerge,
+        allow_late, txn_files=files
+    )
+
+
 def merge_cms_increment(
     spark: SparkSession,
     new_rows: DataFrame,

@@ -2,7 +2,8 @@
 """End-to-end streaming ingestion flow (VERDICT r3 #9): file-source
 Structured Stream → per-(source, bucket) stateful budget cap →
 O(delta) incremental tier merges (1h sum + 1h histogram sketch + 1h
-exact-distinct + 1h CMS frequency tiers, and the 1d sum tier), resumable
+exact-distinct + 1h CMS frequency + 1h regression-statistics tiers, and
+the 1d sum tier), resumable
 at BOTH levels:
 
 - the STREAM resumes from its Structured Streaming checkpoint
@@ -118,6 +119,7 @@ def run_flow(
     from rasusa_spark.streaming.incremental import (
         _read_parquet_or_none,
         merge_cms_increment,
+        merge_deriv_increment,
         merge_distinct_increment,
         merge_histogram_increment,
         merge_rollup_increment,
@@ -202,6 +204,12 @@ def run_flow(
         "cms_1h",
         lambda d, f: merge_cms_increment(
             spark, d, state, tier="1h", item_col="doc_id", allow_late=True, files=f
+        ),
+    )
+    merge_store(
+        "deriv_1h",
+        lambda d, f: merge_deriv_increment(
+            spark, d, state, tier="1h", allow_late=True, files=f
         ),
     )
     merged_buckets = merged.count() if merged is not None else 0

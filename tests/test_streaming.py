@@ -966,3 +966,43 @@ def test_stream_flow_dedup_stage(spark, doubled_docs, tmp_path):
     s3 = flow.run_flow(spark, f"{inp}/*", work, 100_000, dedup_input=docs_in)
     assert s3["dedup_files_merged"] == 0
     assert s3["dedup_pairs_total"] == s2["dedup_pairs_total"]
+
+
+def test_incremental_deriv_merge_equals_batch(spark, raw4k, tmp_path):
+    """Regression tier: folding two increments must equal one batch
+    deriv_partials bit-for-bit (integer moment addition is exactly
+    associative), and the finalized slopes must match gauge_deriv on
+    the union."""
+    from rasusa_spark.operators.timeseries import (
+        _deriv_finalize,
+        gauge_deriv,
+    )
+    from rasusa_spark.streaming.incremental import merge_deriv_increment
+
+    state = str(tmp_path / "state")
+    first = raw4k.where(F.col("row_idx") < 2000)
+    second = raw4k.where(F.col("row_idx") >= 2000)
+    merge_deriv_increment(spark, first, state, tier="1h")
+    merged = merge_deriv_increment(
+        spark, second, state, tier="1h", allow_late=True
+    )
+    stats = sorted(
+        (r.source, r.bucket_start, r.n_samples, r._st, r._sv, r._stv, r._stt)
+        for r in merged.collect()
+    )
+    from rasusa_spark.operators.timeseries import deriv_partials
+
+    batch = sorted(
+        (r.source, r.bucket_start, r.n_samples, r._st, r._sv, r._stv, r._stt)
+        for r in deriv_partials(raw4k, 3600).collect()
+    )
+    assert stats == batch
+    got = {
+        (r.source, r.bucket_start): (r.n_samples, r.slope_per_s)
+        for r in _deriv_finalize(merged, ("source",)).collect()
+    }
+    exp = {
+        (r.source, r.bucket_start): (r.n_samples, r.slope_per_s)
+        for r in gauge_deriv(raw4k, 3600).collect()
+    }
+    assert got == exp
