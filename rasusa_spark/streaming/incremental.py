@@ -429,6 +429,68 @@ def streaming_sliding_rollup(
     return writer.start()
 
 
+def streaming_gauge_delta(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    schema,
+    width: str = "1 hour",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    id_col: str = "doc_id",
+    value_col: str = "n_tok",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Structured Streaming twin of operators/timeseries.gauge_delta: the
+    same ``min_by``/``max_by`` on the (ts, id) order key inside a
+    watermarked event-time window — the endpoint carriers are ordinary
+    declarative aggregates, so the engine maintains them incrementally
+    across micro-batches and batch ≡ streaming on a drained input
+    (pinned in pytest with the flush-row technique). Epoch-aligned
+    ``F.window`` boundaries coincide with the batch time_bucket origin
+    for widths that divide a day (both are midnight-anchored)."""
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(input_path)
+    )
+    v = F.col(value_col).cast("long")
+    okey = F.struct(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("u"),
+        F.col(id_col).alias("i"),
+    )
+    width_s = {"1 hour": 3600, "1 day": 86400, "15 minutes": 900}[width]
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(*group_cols, F.window("ts", width).alias("_w"))
+        .agg(
+            F.min_by(v, okey).alias("v_first"),
+            F.max_by(v, okey).alias("v_last"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            *group_cols,
+            F.col("_w.start").alias("bucket_start"),
+            "v_first",
+            "v_last",
+            (F.col("v_last") - F.col("v_first")).alias("delta"),
+            "n_samples",
+            (
+                (F.col("v_last") - F.col("v_first")).cast("double")
+                / F.lit(float(width_s))
+            ).alias("rate_per_s"),
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_sessionize(
     spark: SparkSession,
     input_path: str,

@@ -1006,3 +1006,45 @@ def test_incremental_deriv_merge_equals_batch(spark, raw4k, tmp_path):
         for r in gauge_deriv(raw4k, 3600).collect()
     }
     assert got == exp
+
+
+def test_streaming_gauge_delta_equals_batch(spark, raw4k, tmp_path):
+    """gauge_delta's endpoint carriers (min_by/max_by on the (ts, id)
+    order key) are declarative aggregates, so Structured Streaming
+    maintains the tier incrementally: two availableNow drains over a
+    drained input (second drain closes the watermark-held tail via the
+    flush row) must equal the batch operator bit-for-bit."""
+    import datetime as _dt
+
+    from rasusa_spark.operators.timeseries import gauge_delta
+    from rasusa_spark.streaming.incremental import streaming_gauge_delta
+
+    inp = str(tmp_path / "gin")
+    raw = raw4k.drop("tokens") if "tokens" in raw4k.columns else raw4k
+    raw.coalesce(2).write.parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    args = (spark, inp, str(tmp_path / "gck"), str(tmp_path / "gout"))
+    streaming_gauge_delta(*args, schema).awaitTermination()
+    far = spark.createDataFrame(
+        [("zzz_flush", "f0", 0, _dt.datetime(2027, 1, 1), 10**9)],
+        schema="source string, doc_id string, n_tok int, ts timestamp, row_idx long",
+    ).select(*[f.name for f in schema.fields])
+    far.write.mode("append").parquet(inp)
+    streaming_gauge_delta(*args, schema).awaitTermination()
+
+    out = spark.read.parquet(str(tmp_path / "gout")).where(
+        F.col("source") != "zzz_flush"
+    )
+    got = sorted(
+        (r.source, r.bucket_start, r.v_first, r.v_last, r.delta,
+         r.n_samples, r.rate_per_s)
+        for r in out.collect()
+    )
+    want = sorted(
+        (r.source, r.bucket_start, r.v_first, r.v_last, r.delta,
+         r.n_samples, r.rate_per_s)
+        for r in gauge_delta(
+            raw, 3600, series_cols=("source",), id_col="doc_id"
+        ).collect()
+    )
+    assert got == want and len(want) > 0
