@@ -285,12 +285,20 @@ def apply_sketch_tier_retention(
       fine-tier per-bucket sets are the large state.
     - ``kind='cms'``: re-roll by cell-wise addition and anti-join on
       (group, bucket, r, idx, cnt) — every counter must match.
+    - ``kind='deriv'`` (r5): re-roll the doomed 1h regression statistics
+      to the coarse tier via exact integer moment RE-BASING
+      (operators/timeseries.py:deriv_from_finer) and anti-join on every
+      statistic (n, Σt, Σv, Σtv, Σt²) — coverage means the coarse store
+      holds the bit-identical sufficient statistics, so the coarse slope
+      is exactly what the dropped fine tier would have produced.
 
     The cutoff must sit on a coarse-bucket boundary; refusal deletes
     nothing; whole ``bucket_part`` day partitions drop via the Hadoop FS;
     drops append to ``{state}/tier_retention``."""
-    if kind not in ("distinct", "cms"):
-        raise ValueError(f"kind must be 'distinct' or 'cms', got {kind!r}")
+    if kind not in ("distinct", "cms", "deriv"):
+        raise ValueError(
+            f"kind must be 'distinct', 'cms' or 'deriv', got {kind!r}"
+        )
     if fine not in TIERS or coarse not in TIERS:
         raise ValueError(f"unknown tier in ({fine!r}, {coarse!r})")
     fine_path = os.path.join(state_path, f"{kind}_{fine}")
@@ -301,11 +309,12 @@ def apply_sketch_tier_retention(
 
     fine_df = spark.read.parquet(fine_path)
     doomed = fine_df.where(F.col("bucket_start") < cutoff)
-    size_expr = (
-        F.sum(F.size("id_set")).alias("n_dropped")
-        if kind == "distinct"
-        else F.sum("cnt").alias("n_dropped")
-    )
+    if kind == "distinct":
+        size_expr = F.sum(F.size("id_set")).alias("n_dropped")
+    elif kind == "cms":
+        size_expr = F.sum("cnt").alias("n_dropped")
+    else:
+        size_expr = F.sum("n_samples").alias("n_dropped")
     parts = (
         doomed.groupBy("bucket_part")
         .agg(F.count(F.lit(1)).alias("rows_dropped"), size_expr)
@@ -330,11 +339,23 @@ def apply_sketch_tier_retention(
             )
             join_cols = ["source", "bucket_start", "id_set"]
             stored_cmp = stored.select(*join_cols)
-        else:
+        elif kind == "cms":
             fresh = doomed.groupBy(
                 "source", coarse_bucket, "r", "idx", "d", "w"
             ).agg(F.sum("cnt").alias("cnt"))
             join_cols = ["source", "bucket_start", "r", "idx", "d", "w", "cnt"]
+            stored_cmp = stored.select(*join_cols)
+        else:
+            from ..operators.timeseries import deriv_from_finer
+
+            width_s = {"1h": 3600, "1d": 86400}[coarse]
+            fresh = deriv_from_finer(
+                doomed.drop("bucket_part"), width_s, series_cols=("source",)
+            )
+            join_cols = [
+                "source", "bucket_start", "n_samples",
+                "_st", "_sv", "_stv", "_stt",
+            ]
             stored_cmp = stored.select(*join_cols)
         uncovered = fresh.join(stored_cmp, on=join_cols, how="left_anti")
         missing = uncovered.select("source", "bucket_start").limit(5).collect()

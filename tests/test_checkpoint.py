@@ -418,3 +418,65 @@ def test_tier_retention_requires_day_aligned_cutoff(spark, tmp_path):
             spark, str(tmp_path), drop_before="2026-04-07 00:00:00",
             fine="raw", coarse="1h",
         )
+
+
+def test_sketch_tier_retention_deriv(spark, raw2k, tmp_path):
+    """Cascade retention for the regression carrier: deriv 1h day
+    partitions drop only when the 1d store holds the bit-identical
+    re-based sufficient statistics; a partial coarse store refuses."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from rasusa_spark.plans.retention import (
+        RetentionError,
+        apply_sketch_tier_retention,
+    )
+    from rasusa_spark.streaming.incremental import merge_deriv_increment
+
+    state = str(tmp_path / "dstate")
+    merge_deriv_increment(spark, raw2k, state, tier="1h")
+    merge_deriv_increment(spark, raw2k, state, tier="1d", allow_late=True)
+
+    h1 = spark.read.parquet(f"{state}/deriv_1h")
+    days = sorted(
+        str(r.bucket_part)
+        for r in h1.select("bucket_part").distinct().collect()
+    )
+    assert len(days) >= 3
+    cd = days[2]
+    cutoff = f"{cd[:4]}-{cd[4:6]}-{cd[6:]} 00:00:00"
+
+    logd = apply_sketch_tier_retention(
+        spark, state, drop_before=cutoff, kind="deriv"
+    )
+    assert {r.source.split("=")[1] for r in logd.collect()} == set(days[:2])
+    left = sorted(
+        str(r.bucket_part)
+        for r in spark.read.parquet(f"{state}/deriv_1h")
+        .select("bucket_part").distinct().collect()
+    )
+    assert left == days[2:]
+    # conservation: remaining 1h samples + dropped samples == 1d samples
+    left_n = (
+        spark.read.parquet(f"{state}/deriv_1h").agg(F.sum("n_samples")).first()[0]
+    )
+    dropped_n = sum(r.n_tok_dropped for r in logd.collect())
+    d1_n = (
+        spark.read.parquet(f"{state}/deriv_1d").agg(F.sum("n_samples")).first()[0]
+    )
+    assert left_n + dropped_n == d1_n
+
+    # refusal: a 1d store rebuilt from HALF the data mismatches the
+    # re-based statistics -> nothing deleted
+    state2 = str(tmp_path / "dstate2")
+    merge_deriv_increment(spark, raw2k, state2, tier="1h")
+    merge_deriv_increment(
+        spark, raw2k.where(F.col("row_idx") < 500), state2, tier="1d",
+        allow_late=True,
+    )
+    n_before = spark.read.parquet(f"{state2}/deriv_1h").count()
+    with _pytest.raises(RetentionError, match="does not cover"):
+        apply_sketch_tier_retention(
+            spark, state2, drop_before=cutoff, kind="deriv"
+        )
+    assert spark.read.parquet(f"{state2}/deriv_1h").count() == n_before
