@@ -1048,3 +1048,105 @@ def test_streaming_gauge_delta_equals_batch(spark, raw4k, tmp_path):
         ).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_incremental_ivf_store_equals_batch_kill_resume(
+    spark, tmp_path, monkeypatch
+):
+    """Incremental IVF: centroids pinned on first merge, deltas assigned
+    and appended under per-txn dirs; searches over the incrementally
+    built store equal ivf_topk_pruned over a batch-written store with
+    the same centroids — across an injected mid-transaction crash."""
+    import glob
+    import os
+
+    import numpy as np
+
+    import rasusa_spark.streaming.ann_inc as ann
+    from rasusa_spark.operators.similarity import (
+        ivf_topk_pruned,
+        write_ivf_partitioned,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = embs.count()
+    ids = sorted(r.vec_id for r in embs.select("vec_id").collect())
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    state = str(tmp_path / "astate")
+    inp = str(tmp_path / "aemb")
+    slices = {
+        "a": embs.where(F.col("vec_id") < cut1),
+        "b": embs.where((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2)),
+        "c": embs.where(F.col("vec_id") >= cut2),
+    }
+    files = {}
+    for kk, sl in slices.items():
+        sl.coalesce(1).write.parquet(f"{inp}/{kk}")
+        files[kk] = sorted(glob.glob(f"{inp}/{kk}/*.parquet"))
+
+    ann.merge_ivf_increment(
+        spark, spark.read.parquet(*files["a"]), state, files=files["a"]
+    )
+    # geometry frozen
+    with pytest.raises(ValueError, match="codebook is frozen"):
+        ann.merge_ivf_increment(
+            spark, spark.read.parquet(*files["b"]), state,
+            files=files["b"], n_cells=8,
+        )
+
+    # crash after intent, before promote
+    real_promote = ann._txn_promote_ivf
+
+    def dying(spark_, state_path_):
+        raise RuntimeError("injected crash before ivf promote")
+
+    monkeypatch.setattr(ann, "_txn_promote_ivf", dying)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ann.merge_ivf_increment(
+            spark, spark.read.parquet(*files["b"]), state, files=files["b"]
+        )
+    monkeypatch.setattr(ann, "_txn_promote_ivf", real_promote)
+    assert os.path.exists(f"{state}/ivf_txn_intent/_SUCCESS")
+    assert ann.recover_pending_ivf(spark, state) is True
+    with pytest.raises(ValueError, match="already in the IVF manifest"):
+        ann.merge_ivf_increment(
+            spark, spark.read.parquet(*files["b"]), state, files=files["b"]
+        )
+    ann.merge_ivf_increment(
+        spark, spark.read.parquet(*files["c"]), state, files=files["c"]
+    )
+
+    # batch reference with the SAME pinned centroids
+    cents = ann.load_centroids(spark, state)
+    batch_loc = str(tmp_path / "abatch")
+    write_ivf_partitioned(embs, batch_loc, cents)
+
+    rng = np.random.default_rng(17)
+    dim = len(embs.select("embedding").first()[0])
+    for _ in range(3):
+        q = [float(x) for x in rng.normal(size=dim)]
+        got = [
+            (r.vec_id, round(r.cosine, 9))
+            for r in ann.ivf_store_topk(spark, state, q, k=5, nprobe=3).collect()
+        ]
+        want = [
+            (r.vec_id, round(r.cosine, 9))
+            for r in ivf_topk_pruned(
+                spark, batch_loc, q, cents, k=5, nprobe=3
+            ).collect()
+        ]
+        assert got == want and len(got) == 5
+
+    # store row total == corpus (every vector landed exactly once)
+    stored = spark.read.parquet(f"{state}/ivf_store/cells")
+    assert stored.count() == n
+    # the probe scan prunes on ivf_cell (partition column)
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ann.ivf_store_topk(spark, state, [1.0] * dim, nprobe=2).explain(
+            "formatted"
+        )
+    assert "PartitionFilters" in buf.getvalue()
+    assert "ivf_cell" in buf.getvalue()
