@@ -559,6 +559,32 @@ def q_gauge_deriv_1d(spark, sf_dir):
     ).select("event_type", "bucket_start", "n_samples", "slope_per_s")
 
 
+def q_gauge_changes_1d(spark, sf_dir):
+    """PromQL changes(): per-(event_type, day) count of value changes
+    between consecutive samples in the (ts, event_id) order
+    (operators/timeseries.py:gauge_changes) — integer-exact."""
+    from rasusa_spark.operators.timeseries import gauge_changes
+
+    ev = _events_cents(spark, sf_dir)
+    return gauge_changes(
+        ev, 86400, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    ).select("event_type", "bucket_start", "n_changes", "n_samples")
+
+
+def q_gauge_irate_1d(spark, sf_dir):
+    """PromQL idelta/irate: last-two-samples delta and per-second rate
+    per (event_type, day) (operators/timeseries.py:gauge_irate); null on
+    singleton buckets and zero-gap last pairs."""
+    from rasusa_spark.operators.timeseries import gauge_irate
+
+    ev = _events_cents(spark, sf_dir)
+    return gauge_irate(
+        ev, 86400, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    ).select("event_type", "bucket_start", "idelta", "irate_per_s")
+
+
 def q_deriv_rerolled_1d(spark, sf_dir):
     """Regression-tier cascade: 1h deriv sufficient statistics re-based
     and re-rolled to 1d (operators/timeseries.py:deriv_from_finer — pure
@@ -1237,6 +1263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gauge_delta_1d": q_gauge_delta_1d,
         "gauge_deriv_1d": q_gauge_deriv_1d,
         "deriv_rerolled_1d": q_deriv_rerolled_1d,
+        "gauge_changes_1d": q_gauge_changes_1d,
+        "gauge_irate_1d": q_gauge_irate_1d,
         "heavy_hitters_1d": q_heavy_hitters_1d,
         "hist_quantile_1d": q_hist_quantile_1d,
         "topn_users_1d": q_topn_users_1d,
@@ -1977,6 +2005,41 @@ SELECT event_type, bucket_start, n_samples,
                  / (CAST(n_samples AS DOUBLE)*CAST(stt AS DOUBLE)
                     - CAST(st AS DOUBLE)*CAST(st AS DOUBLE))
             ELSE NULL END AS slope_per_s
+FROM a
+""",
+        "gauge_changes_1d": f"""
+WITH ev AS ({_EV_CENTS}),
+b AS (SELECT event_type, {_tb_sql(86400)} AS bucket_start, ts, event_id,
+             CAST(n_tok AS BIGINT) AS v FROM ev),
+l AS (SELECT event_type, bucket_start, v,
+             lag(v) OVER (PARTITION BY event_type, bucket_start
+                          ORDER BY ts, event_id) AS prev
+      FROM b)
+SELECT event_type, bucket_start,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND v <> prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changes,
+       count(*) AS n_samples
+FROM l GROUP BY 1, 2
+""",
+        "gauge_irate_1d": f"""
+WITH ev AS ({_EV_CENTS}),
+b AS (SELECT event_type, {_tb_sql(86400)} AS bucket_start, ts, event_id,
+             CAST(n_tok AS BIGINT) AS v, epoch_us(ts) AS us FROM ev),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket_start
+                 ORDER BY ts DESC, event_id DESC) AS rk FROM b),
+t2 AS (SELECT * FROM r WHERE rk <= 2),
+a AS (SELECT event_type, bucket_start, count(*) AS n,
+             CAST((list(v ORDER BY us, event_id))[-1] AS BIGINT) AS vl,
+             CAST((list(v ORDER BY us, event_id))[1] AS BIGINT) AS vp,
+             CAST((list(us ORDER BY us, event_id))[-1] AS BIGINT) AS ul,
+             CAST((list(us ORDER BY us, event_id))[1] AS BIGINT) AS up
+      FROM t2 GROUP BY 1, 2)
+SELECT event_type, bucket_start,
+       CASE WHEN n >= 2 THEN CAST(vl - vp AS BIGINT) ELSE NULL END AS idelta,
+       CASE WHEN n >= 2 AND ul - up > 0
+            THEN CAST(vl - vp AS DOUBLE)
+                 / (CAST(ul - up AS DOUBLE) / 1000000.0)
+            ELSE NULL END AS irate_per_s
 FROM a
 """,
         "heavy_hitters_1d": f"""

@@ -971,6 +971,107 @@ def _deriv_finalize(
     )
 
 
+def gauge_changes(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """PromQL ``changes()``: how many times the value CHANGED between
+    consecutive samples per (series, bucket), in the (ts, id) total
+    order. Integer-exact (a comparison count), so the DuckDB oracle
+    hash-matches. Within-bucket semantics: the first sample of a bucket
+    has no predecessor (cross-bucket pairs contribute nothing) — the
+    mergeable-tier convention every other per-bucket operator here uses.
+
+    Scale shape: one series-keyed window (lag over (series, bucket)
+    partitions) + one combinable groupBy — the counter_increase plan."""
+    w = Window.partitionBy(*series_cols, "bucket_start").orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    )
+    b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    v = F.col(value_col).cast("long")
+    staged = (
+        df.withColumn("bucket_start", b)
+        .withColumn("_us", us)
+        .withColumn("_v", v)
+        .withColumn("_prev", F.lag("_v").over(w))
+    )
+    return staged.groupBy(*series_cols, "bucket_start").agg(
+        F.sum(
+            F.when(
+                F.col("_prev").isNotNull() & (F.col("_v") != F.col("_prev")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changes"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+def gauge_irate(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """PromQL ``idelta``/``irate`` per (series, bucket): the difference
+    (and per-second rate) between the LAST TWO samples in the (ts, id)
+    order. Buckets with < 2 samples emit null. Exact contract: idelta is
+    int64; irate divides by the integer micros gap as ONE double
+    division (same-timestamp last pair → null rather than ±inf — ties
+    are ordered by id, so a zero-gap pair is possible and explicit).
+
+    Scale shape: ONE combinable groupBy — the last two samples are
+    ``max_by`` carriers (the last = max_by over (ts, id); the runner-up
+    = max_by over the same order among rows that are NOT the last, which
+    one window-free trick recovers: carry the TOP-2 as a sorted pair via
+    two max_by aggregates over (okey, v) structs). Implemented as the
+    simpler series-window + rank, matching counter_increase's plan — the
+    window partitions are (series, bucket)-sized."""
+    b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*series_cols, "bucket_start").orderBy(
+        F.col("_us").desc(), F.col(id_col).desc()
+    )
+    staged = (
+        df.withColumn("bucket_start", b)
+        .withColumn("_us", us)
+        .withColumn("_v", v)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 2)
+    )
+    agg = staged.groupBy(*series_cols, "bucket_start").agg(
+        F.max_by("_v", F.struct(F.col("_us"), F.col(id_col))).alias("_vl"),
+        F.min_by("_v", F.struct(F.col("_us"), F.col(id_col))).alias("_vp"),
+        F.max_by("_us", F.struct(F.col("_us"), F.col(id_col))).alias("_ul"),
+        F.min_by("_us", F.struct(F.col("_us"), F.col(id_col))).alias("_up"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    gap = F.col("_ul") - F.col("_up")
+    idelta = F.when(F.col("_n") >= 2, F.col("_vl") - F.col("_vp"))
+    irate = F.when(
+        (F.col("_n") >= 2) & (gap > 0),
+        (F.col("_vl") - F.col("_vp")).cast("double")
+        / (gap.cast("double") / F.lit(1_000_000.0)),
+    )
+    return agg.select(
+        *series_cols,
+        "bucket_start",
+        idelta.alias("idelta"),
+        irate.alias("irate_per_s"),
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     width_s: int,

@@ -373,6 +373,29 @@ def main() -> None:
          grab(probe))
     )
 
+    # incremental IVF store probe: pinned-codebook store, search prunes
+    # on the ivf_cell partition column across all txn directories
+    from rasusa_spark.streaming.ann_inc import (
+        ivf_store_topk,
+        merge_ivf_increment,
+    )
+
+    ivf_state = "/tmp/rasusa_plan_audit_ivf"
+    shutil.rmtree(ivf_state, ignore_errors=True)
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_loc = "/tmp/rasusa_plan_audit_embs"
+    shutil.rmtree(emb_loc, ignore_errors=True)
+    embs.coalesce(1).write.parquet(emb_loc)
+    efiles = sorted(_glob.glob(f"{emb_loc}/*.parquet"))
+    merge_ivf_increment(spark, embs, ivf_state, files=efiles)
+    dim = len(embs.select("embedding").first()[0])
+    sections.append(
+        ("incremental IVF store probe (cells/txn=*/ivf_cell=* layout: "
+         "search reads ONLY the nprobe probed cells — look for "
+         "PartitionFilters on `ivf_cell`)",
+         grab(ivf_store_topk(spark, ivf_state, [1.0] * dim, nprobe=3)))
+    )
+
     out = ["# PLANS — physical-plan audit (auto-generated by scripts/explain_audit.py)",
            "",
            "What to look for: `ReadSchema` never includes `tokens` on selection",

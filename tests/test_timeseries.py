@@ -1100,3 +1100,68 @@ def test_deriv_cascade_bit_equal_to_direct(spark):
         for r in _deriv_finalize(p1d_b, ("source",)).collect()
     }
     assert cascaded_b == cascaded
+
+
+def test_gauge_changes_and_irate(spark):
+    from rasusa_spark.operators.timeseries import gauge_changes, gauge_irate
+
+    rows = [
+        # series a: 5, 5, 7, 7, 3 -> 2 changes; last two (7@30, 3@40):
+        # idelta -4, gap 10 s -> irate -0.4/s
+        ("a", 1, T0 + dt.timedelta(seconds=0), 5),
+        ("a", 2, T0 + dt.timedelta(seconds=10), 5),
+        ("a", 3, T0 + dt.timedelta(seconds=20), 7),
+        ("a", 4, T0 + dt.timedelta(seconds=30), 7),
+        ("a", 5, T0 + dt.timedelta(seconds=40), 3),
+        # series b: singleton
+        ("b", 6, T0 + dt.timedelta(seconds=5), 9),
+        # series c: last two at the SAME ts (id-ordered) -> zero gap
+        ("c", 7, T0 + dt.timedelta(seconds=5), 1),
+        ("c", 9, T0 + dt.timedelta(seconds=8), 4),
+        ("c", 8, T0 + dt.timedelta(seconds=8), 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, ev long, ts timestamp, n_tok int"
+    )
+    ch = {
+        r.source: (r.n_changes, r.n_samples)
+        for r in gauge_changes(
+            df, 3600, series_cols=("source",), id_col="ev"
+        ).collect()
+    }
+    assert ch == {"a": (2, 5), "b": (0, 1), "c": (2, 3)}
+    ir = {
+        r.source: (r.idelta, r.irate_per_s)
+        for r in gauge_irate(
+            df, 3600, series_cols=("source",), id_col="ev"
+        ).collect()
+    }
+    assert ir["a"] == (-4, -4 / 10.0)
+    assert ir["b"] == (None, None)
+    # c: last two are ev=8 (v=2) then ev=9 (v=4) at the same ts ->
+    # idelta 2, zero gap -> null rate
+    assert ir["c"] == (2, None)
+
+    # layout invariance + pandas cross-check on random data
+    big = _series_df(spark, n=300, seed=41)
+    got = {
+        (r.source, r.bucket_start): (r.n_changes, r.n_samples)
+        for r in gauge_changes(
+            big, 3600, series_cols=("source",), id_col="ev_id"
+        ).collect()
+    }
+    got2 = {
+        (r.source, r.bucket_start): (r.n_changes, r.n_samples)
+        for r in gauge_changes(
+            big.repartition(7), 3600, series_cols=("source",), id_col="ev_id"
+        ).collect()
+    }
+    assert got2 == got
+    pdf = big.toPandas().sort_values(["source", "ts", "ev_id"])
+    o_us = 946_857_600 * 1_000_000
+    ts = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+    pdf["bk"] = o_us + ((ts - o_us) // 3_600_000_000) * 3_600_000_000
+    for (src, bk), g in pdf.groupby(["source", "bk"]):
+        v = g["n_tok"].to_numpy()
+        key = (src, np.datetime64(int(bk), "us").astype("datetime64[us]").item())
+        assert got[key] == (int((v[1:] != v[:-1]).sum()), len(v))
