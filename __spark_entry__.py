@@ -608,6 +608,51 @@ def q_deriv_rerolled_1d(spark, sf_dir):
     )
 
 
+def q_changes_rerolled_1d(spark, sf_dir):
+    """Changes-tier cascade (VERDICT r5 Next #5): 1h changes/irate
+    carriers re-rolled to 1d via changes_from_finer (Σ fine changes +
+    boundary comparisons + endpoint/top-2 folds — raw untouched), then
+    the changes finalizer. The oracle counts 1d changes DIRECTLY from raw
+    events — equality proves the boundary algebra cross-engine."""
+    from rasusa_spark.operators.timeseries import (
+        changes_finalize,
+        changes_from_finer,
+        changes_partials,
+    )
+
+    ev = _events_cents(spark, sf_dir)
+    p1h = changes_partials(
+        ev, 3600, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    )
+    p1d = changes_from_finer(p1h, 86400, series_cols=("event_type",))
+    return changes_finalize(p1d, ("event_type",)).select(
+        "event_type", "bucket_start", "n_changes", "n_samples"
+    )
+
+
+def q_irate_rerolled_1d(spark, sf_dir):
+    """Irate from the cascaded carrier: the 1d last-two samples recovered
+    from the 1h tier's per-bucket {last, runner-up} candidates (the
+    global 2nd-last provably lies in that set), then the shared idelta/
+    irate finalizer. Oracle = the direct 1d last-two query from raw."""
+    from rasusa_spark.operators.timeseries import (
+        changes_from_finer,
+        changes_partials,
+        irate_finalize,
+    )
+
+    ev = _events_cents(spark, sf_dir)
+    p1h = changes_partials(
+        ev, 3600, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    )
+    p1d = changes_from_finer(p1h, 86400, series_cols=("event_type",))
+    return irate_finalize(p1d, ("event_type",)).select(
+        "event_type", "bucket_start", "idelta", "irate_per_s"
+    )
+
+
 def q_heavy_hitters_1d(spark, sf_dir):
     """Exact phi-heavy hitters per day (operators/timeseries.py:
     heavy_hitters): users with >= 1% of the day's events, plus count,
@@ -1265,6 +1310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deriv_rerolled_1d": q_deriv_rerolled_1d,
         "gauge_changes_1d": q_gauge_changes_1d,
         "gauge_irate_1d": q_gauge_irate_1d,
+        "changes_rerolled_1d": q_changes_rerolled_1d,
+        "irate_rerolled_1d": q_irate_rerolled_1d,
         "heavy_hitters_1d": q_heavy_hitters_1d,
         "hist_quantile_1d": q_hist_quantile_1d,
         "topn_users_1d": q_topn_users_1d,
@@ -1591,6 +1638,44 @@ _GOLDEN_ONEPASS_SEED1 = [
     "read2", "read3", "read6", "read7", "read8",
     "read11", "read14", "read15", "read16",
 ]
+
+
+_GAUGE_CHANGES_1D_SQL = f"""
+WITH ev AS ({_EV_CENTS}),
+b AS (SELECT event_type, {_tb_sql(86400)} AS bucket_start, ts, event_id,
+             CAST(n_tok AS BIGINT) AS v FROM ev),
+l AS (SELECT event_type, bucket_start, v,
+             lag(v) OVER (PARTITION BY event_type, bucket_start
+                          ORDER BY ts, event_id) AS prev
+      FROM b)
+SELECT event_type, bucket_start,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND v <> prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changes,
+       count(*) AS n_samples
+FROM l GROUP BY 1, 2
+"""
+
+_GAUGE_IRATE_1D_SQL = f"""
+WITH ev AS ({_EV_CENTS}),
+b AS (SELECT event_type, {_tb_sql(86400)} AS bucket_start, ts, event_id,
+             CAST(n_tok AS BIGINT) AS v, epoch_us(ts) AS us FROM ev),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket_start
+                 ORDER BY ts DESC, event_id DESC) AS rk FROM b),
+t2 AS (SELECT * FROM r WHERE rk <= 2),
+a AS (SELECT event_type, bucket_start, count(*) AS n,
+             CAST((list(v ORDER BY us, event_id))[-1] AS BIGINT) AS vl,
+             CAST((list(v ORDER BY us, event_id))[1] AS BIGINT) AS vp,
+             CAST((list(us ORDER BY us, event_id))[-1] AS BIGINT) AS ul,
+             CAST((list(us ORDER BY us, event_id))[1] AS BIGINT) AS up
+      FROM t2 GROUP BY 1, 2)
+SELECT event_type, bucket_start,
+       CASE WHEN n >= 2 THEN CAST(vl - vp AS BIGINT) ELSE NULL END AS idelta,
+       CASE WHEN n >= 2 AND ul - up > 0
+            THEN CAST(vl - vp AS DOUBLE)
+                 / (CAST(ul - up AS DOUBLE) / 1000000.0)
+            ELSE NULL END AS irate_per_s
+FROM a
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2007,41 +2092,8 @@ SELECT event_type, bucket_start, n_samples,
             ELSE NULL END AS slope_per_s
 FROM a
 """,
-        "gauge_changes_1d": f"""
-WITH ev AS ({_EV_CENTS}),
-b AS (SELECT event_type, {_tb_sql(86400)} AS bucket_start, ts, event_id,
-             CAST(n_tok AS BIGINT) AS v FROM ev),
-l AS (SELECT event_type, bucket_start, v,
-             lag(v) OVER (PARTITION BY event_type, bucket_start
-                          ORDER BY ts, event_id) AS prev
-      FROM b)
-SELECT event_type, bucket_start,
-       CAST(sum(CASE WHEN prev IS NOT NULL AND v <> prev THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_changes,
-       count(*) AS n_samples
-FROM l GROUP BY 1, 2
-""",
-        "gauge_irate_1d": f"""
-WITH ev AS ({_EV_CENTS}),
-b AS (SELECT event_type, {_tb_sql(86400)} AS bucket_start, ts, event_id,
-             CAST(n_tok AS BIGINT) AS v, epoch_us(ts) AS us FROM ev),
-r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket_start
-                 ORDER BY ts DESC, event_id DESC) AS rk FROM b),
-t2 AS (SELECT * FROM r WHERE rk <= 2),
-a AS (SELECT event_type, bucket_start, count(*) AS n,
-             CAST((list(v ORDER BY us, event_id))[-1] AS BIGINT) AS vl,
-             CAST((list(v ORDER BY us, event_id))[1] AS BIGINT) AS vp,
-             CAST((list(us ORDER BY us, event_id))[-1] AS BIGINT) AS ul,
-             CAST((list(us ORDER BY us, event_id))[1] AS BIGINT) AS up
-      FROM t2 GROUP BY 1, 2)
-SELECT event_type, bucket_start,
-       CASE WHEN n >= 2 THEN CAST(vl - vp AS BIGINT) ELSE NULL END AS idelta,
-       CASE WHEN n >= 2 AND ul - up > 0
-            THEN CAST(vl - vp AS DOUBLE)
-                 / (CAST(ul - up AS DOUBLE) / 1000000.0)
-            ELSE NULL END AS irate_per_s
-FROM a
-""",
+        "gauge_changes_1d": _GAUGE_CHANGES_1D_SQL,
+        "gauge_irate_1d": _GAUGE_IRATE_1D_SQL,
         "heavy_hitters_1d": f"""
 WITH c AS (SELECT {_tb_sql(86400)} AS bucket_start, user_id,
                   count(*) AS key_count FROM events GROUP BY 1, 2),
@@ -2562,6 +2614,12 @@ FROM events GROUP BY 1
         "multimodal_features": _multimodal_oracle_sql(),
         "golden_num10_seed1": _golden_oracle_sql(_GOLDEN_NUM10_SEED1),
         "golden_onepass_seed1": _golden_oracle_sql(_GOLDEN_ONEPASS_SEED1),
+        # the cascaded changes/irate queries re-roll 1h carriers to 1d;
+        # their oracles are the DIRECT 1d computations from raw (the same
+        # SQL as the query-time gauge ops) — equality proves the carrier
+        # fold's boundary/top-2 algebra externally
+        "changes_rerolled_1d": _GAUGE_CHANGES_1D_SQL,
+        "irate_rerolled_1d": _GAUGE_IRATE_1D_SQL,
         **(
             {"ivf_topk": ivf}
             if (ivf := _ivf_oracle_sql()) is not None

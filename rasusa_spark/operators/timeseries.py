@@ -815,9 +815,22 @@ def topn_rollup(
         F.desc("value_sum"), F.asc("_key")
     )
     ranked = agg.withColumn("_rk", F.row_number().over(wd))
-    key_out = F.when(
-        F.col("_rk") <= n, F.col("_key").cast("string")
-    ).otherwise(F.lit("__others__"))
+    # a GENUINE key equal to the sentinel would silently merge with the
+    # tail row (ADVICE r5) — refuse loudly instead, at zero extra scans
+    # (the raise rides the existing projection as a lazy when-branch)
+    key_out = (
+        F.when(
+            F.col("_key").cast("string") == F.lit("__others__"),
+            F.raise_error(
+                F.lit(
+                    "topn_rollup: key column contains the reserved "
+                    "sentinel '__others__' — rename that key upstream"
+                )
+            ),
+        )
+        .when(F.col("_rk") <= n, F.col("_key").cast("string"))
+        .otherwise(F.lit("__others__"))
+    )
     return ranked.groupBy(
         *series_cols, "bucket_start", key_out.alias(key_col)
     ).agg(
@@ -1065,6 +1078,242 @@ def gauge_irate(
         / (gap.cast("double") / F.lit(1_000_000.0)),
     )
     return agg.select(
+        *series_cols,
+        "bucket_start",
+        idelta.alias("idelta"),
+        irate.alias("irate_per_s"),
+    )
+
+
+# --- changes/irate mergeable tier carrier (VERDICT r5 Next #5) -------------
+#
+# Every other PromQL-surface op has a tier carrier with a bit-equal cascade;
+# changes()/idelta/irate were query-time-only. The carrier per
+# (series, bucket) is:
+#
+#   n_changes, n_samples,
+#   first sample (u_first, id_first, v_first)   [endpoints in (ts,id) order]
+#   last  sample (u_last,  id_last,  v_last)
+#   runner-up    (u_prev,  id_prev,  v_prev)    [2nd-last; null if n<2]
+#
+# Closure proof: for any partition of a bucket's samples into CONTIGUOUS
+# time ranges (which is what both a tier cascade — fine buckets — and an
+# ordered-append increment deliver), changes = Σ part changes + Σ boundary
+# comparisons (prev part's last vs next part's first), endpoints fold by
+# min/max over the order key, and the global top-2 last samples always lie
+# in the union of each part's {last, 2nd-last} (if a sample is neither in
+# its own part, two larger samples exist in that part alone, so it can't
+# be global 2nd). Non-contiguous (interleaved) parts would make per-part
+# n_changes non-compositional — the fold detects overlap and REFUSES,
+# mirroring the watermark guard's posture (the merge path is append-only).
+
+_CHANGES_CARRIER = [
+    "n_changes", "n_samples",
+    "u_first", "id_first", "v_first",
+    "u_last", "id_last", "v_last",
+    "u_prev", "id_prev", "v_prev",
+]
+
+
+def changes_partials(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """Build the changes/irate carrier at ``width_s`` buckets from raw.
+
+    Scale shape: the windows partition by (series, bucket) — bucket-sized
+    partitions, same as ``gauge_changes``/``counter_increase`` — followed
+    by ONE combinable groupBy; raw is touched once."""
+    b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    v = F.col(value_col).cast("long")
+    staged = (
+        df.withColumn("bucket_start", b)
+        .withColumn("_us", us)
+        .withColumn("_v", v)
+    )
+    asc = Window.partitionBy(*series_cols, "bucket_start").orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    )
+    desc = Window.partitionBy(*series_cols, "bucket_start").orderBy(
+        F.col("_us").desc(), F.col(id_col).desc()
+    )
+    staged = staged.withColumn("_prevv", F.lag("_v").over(asc)).withColumn(
+        "_rkd", F.row_number().over(desc)
+    )
+    samp = F.struct(F.col("_us").alias("u"), F.col(id_col).alias("i"),
+                    F.col("_v").alias("v"))
+    okey = F.struct(F.col("_us").alias("u"), F.col(id_col).alias("i"))
+    agg = staged.groupBy(*series_cols, "bucket_start").agg(
+        F.sum(
+            F.when(
+                F.col("_prevv").isNotNull() & (F.col("_v") != F.col("_prevv")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changes"),
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min_by(samp, okey).alias("_f"),
+        F.max_by(samp, okey).alias("_l"),
+        # runner-up: max_by skips rows whose ordering key is null
+        F.max_by(samp, F.when(F.col("_rkd") >= 2, okey)).alias("_p"),
+    )
+    return agg.select(
+        *series_cols,
+        "bucket_start",
+        "n_changes",
+        "n_samples",
+        F.col("_f.u").alias("u_first"),
+        F.col("_f.i").alias("id_first"),
+        F.col("_f.v").alias("v_first"),
+        F.col("_l.u").alias("u_last"),
+        F.col("_l.i").alias("id_last"),
+        F.col("_l.v").alias("v_last"),
+        F.col("_p.u").alias("u_prev"),
+        F.col("_p.i").alias("id_prev"),
+        F.col("_p.v").alias("v_prev"),
+    )
+
+
+def changes_fold(
+    parts: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Fold carrier rows that share a (group, bucket) into one carrier row.
+    ``parts`` must carry ``group_cols`` + ``bucket_start`` + the carrier
+    columns; parts within a group must cover DISJOINT (ts, id) ranges
+    (contiguous splits — tier cascade or ordered appends). Overlapping
+    parts raise at execution time (lazy ``raise_error`` branch: per-part
+    changes counts do not compose across interleaved samples).
+
+    All inputs here are ALREADY-AGGREGATED carrier tables (≤ a few parts
+    per bucket), so the window + self-join below never touches raw data."""
+    keys = [*group_cols, "bucket_start"]
+    ord_w = Window.partitionBy(*keys).orderBy(
+        F.col("u_first").asc(), F.col("id_first").asc()
+    )
+    pl_u = F.lag("u_last").over(ord_w)
+    pl_i = F.lag("id_last").over(ord_w)
+    pl_v = F.lag("v_last").over(ord_w)
+    cur_first = F.struct(F.col("u_first").alias("u"), F.col("id_first").alias("i"))
+    prev_last = F.struct(pl_u.alias("u"), pl_i.alias("i"))
+    boundary = (
+        F.when(pl_u.isNull(), F.lit(0))
+        .when(
+            prev_last >= cur_first,
+            F.raise_error(
+                F.lit(
+                    "changes_fold: carrier parts overlap in (ts, id) — "
+                    "per-part change counts only compose across "
+                    "contiguous splits; merge increments in time order"
+                )
+            ).cast("int"),
+        )
+        .when(pl_v != F.col("v_first"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    staged = parts.withColumn("_bnd", boundary)
+    fsamp = F.struct(F.col("u_first").alias("u"), F.col("id_first").alias("i"),
+                     F.col("v_first").alias("v"))
+    lsamp = F.struct(F.col("u_last").alias("u"), F.col("id_last").alias("i"),
+                     F.col("v_last").alias("v"))
+    fkey = F.struct(F.col("u_first").alias("u"), F.col("id_first").alias("i"))
+    lkey = F.struct(F.col("u_last").alias("u"), F.col("id_last").alias("i"))
+    base = staged.groupBy(*keys).agg(
+        (F.sum("n_changes") + F.sum("_bnd")).alias("n_changes"),
+        F.sum("n_samples").alias("n_samples"),
+        F.min_by(fsamp, fkey).alias("_f"),
+        F.max_by(lsamp, lkey).alias("_l"),
+    )
+    # global runner-up: top-2 over each part's {last, 2nd-last} candidates
+    cand = parts.select(
+        *keys,
+        F.explode(
+            F.array(
+                F.struct(F.col("u_last").alias("u"), F.col("id_last").alias("i"),
+                         F.col("v_last").alias("v")),
+                F.struct(F.col("u_prev").alias("u"), F.col("id_prev").alias("i"),
+                         F.col("v_prev").alias("v")),
+            )
+        ).alias("_c"),
+    ).where(F.col("_c.u").isNotNull())
+    cw = Window.partitionBy(*keys).orderBy(
+        F.col("_c.u").desc(), F.col("_c.i").desc()
+    )
+    runner = (
+        cand.withColumn("_rk", F.row_number().over(cw))
+        .where(F.col("_rk") == 2)
+        .select(*keys, F.col("_c").alias("_p"))
+    )
+    return (
+        base.join(runner, on=keys, how="left")
+        .select(
+            *keys,
+            "n_changes",
+            "n_samples",
+            F.col("_f.u").alias("u_first"),
+            F.col("_f.i").alias("id_first"),
+            F.col("_f.v").alias("v_first"),
+            F.col("_l.u").alias("u_last"),
+            F.col("_l.i").alias("id_last"),
+            F.col("_l.v").alias("v_last"),
+            F.col("_p.u").alias("u_prev"),
+            F.col("_p.i").alias("id_prev"),
+            F.col("_p.v").alias("v_prev"),
+        )
+    )
+
+
+def changes_from_finer(
+    partials: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """Re-roll the changes/irate carrier from a finer tier to ``width_s``
+    buckets WITHOUT touching raw: fine buckets are contiguous time slices
+    of the coarse bucket, so ``changes_fold``'s boundary algebra applies
+    exactly — the result is bit-equal to ``changes_partials`` at
+    ``width_s`` over raw (pinned by test + the changes_rerolled_1d /
+    irate_rerolled_1d full oracles)."""
+    b = time_bucket_expr(width_s, "bucket_start", origin_s=origin_s)
+    staged = partials.withColumn("bucket_start", b)
+    return changes_fold(staged, list(series_cols))
+
+
+def changes_finalize(
+    partials: DataFrame,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+) -> DataFrame:
+    """``gauge_changes``-shaped output from a carrier table."""
+    return partials.select(
+        *series_cols, "bucket_start", "n_changes", "n_samples"
+    )
+
+
+def irate_finalize(
+    partials: DataFrame,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+) -> DataFrame:
+    """``gauge_irate``-shaped output from a carrier table: the idelta/irate
+    scalar expressions over the carried last-two samples — the SAME
+    expression tree ``gauge_irate`` evaluates, so finalizing a cascaded
+    carrier is bit-equal to the direct query."""
+    gap = F.col("u_last") - F.col("u_prev")
+    has2 = F.col("n_samples") >= 2
+    idelta = F.when(has2, F.col("v_last") - F.col("v_prev"))
+    irate = F.when(
+        has2 & (gap > 0),
+        (F.col("v_last") - F.col("v_prev")).cast("double")
+        / (gap.cast("double") / F.lit(1_000_000.0)),
+    )
+    return partials.select(
         *series_cols,
         "bucket_start",
         idelta.alias("idelta"),

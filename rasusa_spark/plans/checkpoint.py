@@ -138,7 +138,8 @@ def run_downsample_job(
 
     # data first (idempotent via dynamic partition overwrite), commits second;
     # the partition key is the commit unit itself (see module docstring)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    from ..streaming.incremental import _dynamic_overwrite
+
     out = kept.withColumn(
         "bucket_id", F.date_format("bucket_start", "yyyyMMdd'T'HHmmss")
     )
@@ -146,9 +147,10 @@ def run_downsample_job(
         out = out.repartition("source", "bucket_id").sortWithinPartitions(
             "source", "bucket_id", order_col
         )
-    out.write.mode("overwrite").partitionBy("source", "bucket_id").parquet(
-        os.path.join(output_path, "retained")
-    )
+    with _dynamic_overwrite(spark):
+        out.write.mode("overwrite").partitionBy("source", "bucket_id").parquet(
+            os.path.join(output_path, "retained")
+        )
 
     base_ordinal = commits.agg(
         F.coalesce(F.max("committed_at_ordinal"), F.lit(0))

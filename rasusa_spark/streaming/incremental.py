@@ -27,29 +27,69 @@ Two complementary paths:
 
 from __future__ import annotations
 
+import contextlib
 import os
+import re
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.rollup import TIERS, rollup
 
 _AGGS = ["n_tok_sum", "row_count", "n_tok_min", "n_tok_max"]
 _PART = "bucket_part"  # hive partition column: day of bucket_start
 
+_INTERVAL_UNIT_S = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def interval_seconds(width: str) -> int:
+    """Parse a Spark interval string ('15 minutes', '1 hour') to whole
+    seconds. Raises ValueError (not a bare KeyError, ADVICE r5) for any
+    form ``F.window`` would reject or that this module can't bucket."""
+    m = re.fullmatch(r"\s*(\d+)\s+(second|minute|hour|day|week)s?\s*",
+                     str(width).lower())
+    if not m:
+        raise ValueError(
+            f"unsupported window width {width!r}: expected '<n> "
+            "second[s]|minute[s]|hour[s]|day[s]|week[s]'"
+        )
+    return int(m.group(1)) * _INTERVAL_UNIT_S[m.group(2)]
+
+
+@contextlib.contextmanager
+def _dynamic_overwrite(spark: SparkSession):
+    """Scope spark.sql.sources.partitionOverwriteMode=dynamic to one write:
+    the previous value is restored on exit so unrelated later
+    mode('overwrite').partitionBy(...) writes in the same session don't
+    silently become dynamic (ADVICE r5)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
 
 def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read a parquet dir, returning None ONLY when the path does not exist;
+    """Read a parquet dir, returning None when the path does not exist OR
+    holds no parquet footers (a legitimately-empty increment can promote a
+    directory containing only _SUCCESS — semantically 'no state yet');
     any other failure (corruption, permissions) propagates — silently
     treating those as 'no state' would trigger duplicate reprocessing
     (ADVICE r1)."""
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(getattr(e, "getCondition", lambda: "")() or "") or (
-            "PATH_NOT_FOUND" in str(e)
-        ):
+        cond = str(getattr(e, "getCondition", lambda: "")() or "") + str(e)
+        if "PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond:
             return None
         raise
 
@@ -65,6 +105,20 @@ def _fs_delete(spark: SparkSession, path: str) -> None:
     fs, jpath = _fs(spark, path)
     if fs.exists(jpath):
         fs.delete(jpath, True)
+
+
+def _read_store_or_empty(spark: SparkSession, store: str, schema) -> DataFrame:
+    """Read the tier store, dropping the hive partition column; an absent
+    OR file-less store (a legitimately empty increment created the
+    directory but no part files) reads as an empty, correctly-typed
+    table instead of throwing schema inference errors."""
+    try:
+        return spark.read.parquet(store).drop(_PART)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def _txn_paths(state_path: str, store_name: str) -> dict[str, str]:
@@ -104,15 +158,30 @@ def _txn_promote(spark: SparkSession, state_path: str, store_name: str) -> None:
     store = os.path.join(state_path, store_name)
     wm_path = os.path.join(state_path, f"{store_name}_wm")
 
-    staging = spark.read.parquet(p["staging"])  # _PART is a data column here
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    staging.write.mode("overwrite").partitionBy(_PART).parquet(store)
+    # The intent pins each staged dataset's schema (ADVICE r5): an EMPTY
+    # increment can stage zero parquet part files, and an inferred-schema
+    # read of that directory throws on every recovery replay — wedging the
+    # store until the intent is hand-deleted. Pre-pinning intents (no DDL
+    # columns) fall back to inference, preserving recovery of transactions
+    # prepared by older code.
+    intent_df = spark.read.parquet(p["intent"])
+    first = intent_df.limit(1).collect()[0]
+    cols = set(intent_df.columns)
 
-    spark.read.parquet(p["txnwm"]).coalesce(1).write.mode("overwrite").parquet(
-        wm_path
-    )
+    def _reader(ddl_col: str):
+        if ddl_col in cols and getattr(first, ddl_col) is not None:
+            return spark.read.schema(T.StructType.fromDDL(getattr(first, ddl_col)))
+        return spark.read
 
-    files = {r.path for r in spark.read.parquet(p["intent"]).collect()}
+    staging = _reader("staging_ddl").parquet(p["staging"])  # _PART is data here
+    with _dynamic_overwrite(spark):
+        staging.write.mode("overwrite").partitionBy(_PART).parquet(store)
+
+    _reader("txnwm_ddl").parquet(p["txnwm"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(wm_path)
+
+    files = {r.path for r in intent_df.select("path").collect()}
     manifest = _read_parquet_or_none(spark, p["manifest"])
     if manifest is not None:
         files |= {r.path for r in manifest.collect()}
@@ -176,6 +245,17 @@ def _merge_increment(
     either leaves the store/manifest pair untouched (pre-intent) or is
     rolled forward exactly once by ``recover_pending`` — never a partial
     state that re-merges the same file into a non-idempotent carrier."""
+    if txn_files is not None:
+        if not txn_files:
+            raise ValueError(
+                "txn merge called with an empty file list — nothing to "
+                "fold; list new files first (the no-op has no intent to "
+                "record)"
+            )
+        # a crashed prior transaction must roll forward BEFORE this merge
+        # reads the watermark/manifest (ADVICE r5: direct callers of
+        # merge_*_increment previously clobbered a pending intent)
+        recover_pending(spark, state_path, store_name)
     inc = inc.persist()
     store = os.path.join(state_path, store_name)
     wm_path = os.path.join(state_path, f"{store_name}_wm")
@@ -241,31 +321,35 @@ def _merge_increment(
         # _PART stays a DATA column so read-back types survive), then the
         # advanced watermark, then the intent marker LAST (its _SUCCESS
         # commits the prepare phase)
-        merged.withColumn(
-            _PART, F.date_format("bucket_start", "yyyyMMdd")
-        ).write.mode("overwrite").parquet(p["staging"])
+        staged = merged.withColumn(_PART, F.date_format("bucket_start", "yyyyMMdd"))
+        staged.write.mode("overwrite").parquet(p["staging"])
         new_wm_rows = new_wm.collect()  # bounded: one row per group
         spark.createDataFrame(new_wm_rows, new_wm.schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(p["txnwm"])
+        # schema DDLs ride in the intent so the replayed promote never
+        # depends on part files existing in staging (empty increments)
+        staging_ddl = staged.schema.toDDL()
+        txnwm_ddl = new_wm.schema.toDDL()
         spark.createDataFrame(
-            [(f,) for f in txn_files], "path string"
+            [(f, staging_ddl, txnwm_ddl) for f in txn_files],
+            "path string, staging_ddl string, txnwm_ddl string",
         ).coalesce(1).write.mode("overwrite").parquet(p["intent"])
         inc.unpersist()
         _txn_promote(spark, state_path, store_name)
-        return spark.read.parquet(store).drop(_PART)
+        return _read_store_or_empty(spark, store, inc.schema)
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.withColumn(_PART, F.date_format("bucket_start", "yyyyMMdd")).write.mode(
-        "overwrite"
-    ).partitionBy(_PART).parquet(store)
+    with _dynamic_overwrite(spark):
+        merged.withColumn(
+            _PART, F.date_format("bucket_start", "yyyyMMdd")
+        ).write.mode("overwrite").partitionBy(_PART).parquet(store)
 
     new_wm_rows = new_wm.collect()  # bounded: one row per group
     inc.unpersist()
     spark.createDataFrame(new_wm_rows, new_wm.schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(wm_path)
-    return spark.read.parquet(store).drop(_PART)
+    return _read_store_or_empty(spark, store, inc.schema)
 
 
 def merge_rollup_increment(
@@ -450,6 +534,7 @@ def streaming_gauge_delta(
     (pinned in pytest with the flush-row technique). Epoch-aligned
     ``F.window`` boundaries coincide with the batch time_bucket origin
     for widths that divide a day (both are midnight-anchored)."""
+    width_s = interval_seconds(width)  # ValueError before the stream starts
     stream = (
         spark.readStream.schema(schema).format("parquet").load(input_path)
     )
@@ -458,7 +543,6 @@ def streaming_gauge_delta(
         F.unix_micros(F.col("ts").cast("timestamp")).alias("u"),
         F.col(id_col).alias("i"),
     )
-    width_s = {"1 hour": 3600, "1 day": 86400, "15 minutes": 900}[width]
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(*group_cols, F.window("ts", width).alias("_w"))
@@ -614,6 +698,50 @@ def merge_deriv_increment(
 
     return _merge_increment(
         spark, inc, state_path, f"deriv_{tier}", group_cols, remerge,
+        allow_late, txn_files=files
+    )
+
+
+def merge_changes_increment(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    state_path: str,
+    tier: str = "1h",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    allow_late: bool = False,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """O(delta) incremental maintenance of the CHANGES/IRATE carrier tier
+    (operators/timeseries.py:changes_partials — VERDICT r5 Next #5): state
+    is (n_changes, n_samples, first/last/runner-up samples) per (group,
+    bucket); the merge is ``changes_fold``'s ordered-append algebra —
+    Σ changes + boundary comparison + endpoint/top-2 folds. Exact for
+    increments appended in (ts, id) order WITHIN a bucket (the fold
+    REFUSES interleaved same-bucket appends — per-part change counts
+    don't compose across interleaves; this is the sample-granularity
+    analog of the bucket watermark guard). Batch ≡ incremental bit-for-
+    bit under any time-ordered split, pinned in pytest; the stored tier
+    cascades to coarser buckets via ``changes_from_finer``. Same
+    watermark + partition-pruned rewrite + roll-forward transaction
+    machinery as the other five carriers."""
+    from ..operators.timeseries import changes_fold, changes_partials
+
+    group_cols = list(group_cols)
+    inc = changes_partials(
+        new_rows,
+        _TIER_SECONDS[tier],
+        series_cols=group_cols,
+        value_col=value_col,
+        id_col=id_col,
+    )
+
+    def remerge(union: DataFrame) -> DataFrame:
+        return changes_fold(union, group_cols)
+
+    return _merge_increment(
+        spark, inc, state_path, f"changes_{tier}", group_cols, remerge,
         allow_late, txn_files=files
     )
 

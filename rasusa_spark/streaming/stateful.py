@@ -378,3 +378,116 @@ def streaming_twa(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+CHANGES_STATE_SCHEMA = COUNTER_STATE_SCHEMA  # same (last_xu, last_id, last_val)
+
+CHANGES_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("bucket_xu", T.LongType()),
+        T.StructField("changed", T.IntegerType()),
+    ]
+)
+
+
+def _changes_fn(width_us: int, origin_us: int):
+    """Streaming twin of operators/timeseries.gauge_changes (and the
+    changes_partials carrier): per series carry the last (ts, id, value);
+    each arriving sample emits ``changed`` = 1 iff its value differs from
+    its predecessor AND the predecessor lies in the SAME time bucket
+    (cross-bucket pairs contribute nothing — the mergeable-tier
+    convention). Bucketed sums of ``changed`` downstream equal the batch
+    operator's ``n_changes`` exactly (pinned in pytest). Same in-order-
+    across-micro-batches arrival assumption as the counter kernel;
+    vectorized — one sort + one shift per micro-batch."""
+
+    def derive(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_xu, last_id, last_val = (
+            state.get if state.exists else (None, None, None)
+        )
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            xu = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            ids = pdf["event_id"].to_numpy(dtype="int64")
+            order = np.lexsort((ids, xu))
+            pdf = pdf.iloc[order]
+            xu = xu[order]
+            v = pdf["n_tok"].to_numpy(dtype="int64")
+            bkt = origin_us + ((xu - origin_us) // width_us) * width_us
+            prev_v = np.roll(v, 1)
+            prev_b = np.roll(bkt, 1)
+            changed = ((v != prev_v) & (bkt == prev_b)).astype("int32")
+            if last_val is None:
+                changed[0] = 0
+            else:
+                last_b = origin_us + ((last_xu - origin_us) // width_us) * width_us
+                changed[0] = 1 if (v[0] != last_val and bkt[0] == last_b) else 0
+            last_xu = int(xu[-1])
+            last_id = int(ids[-1])
+            last_val = int(v[-1])
+            yield pd.DataFrame(
+                {
+                    "series": key[0],
+                    "ts": pdf["ts"].to_numpy(),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "bucket_xu": bkt,
+                    "changed": changed,
+                }
+            )
+        if last_val is not None:
+            state.update((last_xu, last_id, last_val))
+
+    return derive
+
+
+def streaming_gauge_changes(
+    spark,
+    input_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    schema: T.StructType,
+    width_s: int = 3600,
+    series_col: str = "event_type",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """File-source stream → per-series stateful change flags → parquet
+    sink (VERDICT r5 Next #5 streaming parity). Per-sample ``changed``
+    contributions are integer-exact and within-bucket, so any downstream
+    bucketed sum reproduces the batch ``gauge_changes`` tier; state per
+    series is ONE (ts, id, value) triple — the counter kernel's memory
+    posture."""
+    from ..operators.timeseries import TIME_BUCKET_ORIGIN_S
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(input_path)
+    out = (
+        stream.select(
+            F.col(series_col).alias("series"), "ts", "event_id", "n_tok"
+        )
+        .groupBy("series")
+        .applyInPandasWithState(
+            _changes_fn(width_s * 1_000_000, TIME_BUCKET_ORIGIN_S * 1_000_000),
+            CHANGES_OUT_SCHEMA,
+            CHANGES_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1150,3 +1150,241 @@ def test_incremental_ivf_store_equals_batch_kill_resume(
         )
     assert "PartitionFilters" in buf.getvalue()
     assert "ivf_cell" in buf.getvalue()
+
+
+# --- round 6: ADVICE r5 regressions ---------------------------------------
+
+
+def test_empty_increment_txn_never_wedges(spark, raw4k, tmp_path, monkeypatch):
+    """ADVICE r5 (medium): an increment that stages ZERO parquet part files
+    (empty delta) must promote via the intent's pinned schema — and a crash
+    between intent and promote must roll forward, not wedge the store on
+    'Unable to infer schema' forever."""
+    import rasusa_spark.streaming.incremental as inc_mod
+
+    state = str(tmp_path / "state")
+    empty = raw4k.where(F.lit(False))
+
+    # 1. clean empty-increment merges: into an empty store, then a real
+    #    merge, then an empty one into the existing store
+    out = merge_rollup_increment(spark, empty, state, tier="1h", files=["e0"])
+    assert out.count() == 0
+    merge_rollup_increment(
+        spark, raw4k, state, tier="1h", allow_late=True, files=["r1"]
+    )
+    out = merge_rollup_increment(
+        spark, empty, state, tier="1h", allow_late=True, files=["e2"]
+    )
+    assert _rows(out) == _rows(rollup(raw4k, "1h"))
+
+    # 2. injected crash AFTER the intent commits, with EMPTY staging: the
+    #    pre-fix code wedged here (recover_pending replayed a failing
+    #    promote each time)
+    state2 = str(tmp_path / "state2")
+    orig = inc_mod._txn_promote
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash post-intent")
+
+    monkeypatch.setattr(inc_mod, "_txn_promote", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_rollup_increment(spark, empty, state2, tier="1h", files=["x0"])
+    monkeypatch.setattr(inc_mod, "_txn_promote", orig)
+
+    assert inc_mod.recover_pending(spark, state2, "rollup_1h") is True
+    # the manifest recorded x0; the store is usable
+    out = merge_rollup_increment(
+        spark, raw4k, state2, tier="1h", allow_late=True, files=["x1"]
+    )
+    assert _rows(out) == _rows(rollup(raw4k, "1h"))
+    with pytest.raises(ValueError, match="already in"):
+        merge_rollup_increment(
+            spark, empty, state2, tier="1h", allow_late=True, files=["x0"]
+        )
+
+
+def test_merge_increment_self_recovers_pending_txn(
+    spark, raw4k, tmp_path, monkeypatch
+):
+    """ADVICE r5 (low): a DIRECT merge_*_increment call after a crash must
+    roll the pending transaction forward first, not overwrite its
+    intent/staging."""
+    import rasusa_spark.streaming.incremental as inc_mod
+
+    state = str(tmp_path / "state")
+    first = raw4k.where(F.col("row_idx") < 2000)
+    second = raw4k.where(F.col("row_idx") >= 2000)
+
+    orig = inc_mod._txn_promote
+    monkeypatch.setattr(
+        inc_mod,
+        "_txn_promote",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError):
+        merge_rollup_increment(spark, first, state, tier="1h", files=["f0"])
+    monkeypatch.setattr(inc_mod, "_txn_promote", orig)
+
+    # no manual recover_pending: the next direct merge must self-recover
+    # (fold f0's prepared txn forward) and then apply f1 — equaling batch
+    out = merge_rollup_increment(
+        spark, second, state, tier="1h", allow_late=True, files=["f1"]
+    )
+    assert _rows(out) == _rows(rollup(raw4k, "1h"))
+
+
+def test_dynamic_overwrite_conf_restored(spark, raw4k, tmp_path):
+    """ADVICE r5 (low): the txn/merge paths must not leave
+    partitionOverwriteMode=dynamic on the shared session."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    state = str(tmp_path / "state")
+    merge_rollup_increment(spark, raw4k, state, tier="1h", files=["f0"])
+    assert spark.conf.get(key, None) == prev
+
+
+def test_streaming_gauge_delta_width_validation(spark, tmp_path):
+    """ADVICE r5 (low): arbitrary F.window-acceptable widths parse; junk
+    raises ValueError, not KeyError."""
+    from rasusa_spark.streaming.incremental import (
+        interval_seconds,
+        streaming_gauge_delta,
+    )
+
+    assert interval_seconds("30 minutes") == 1800
+    assert interval_seconds("2 hours") == 7200
+    assert interval_seconds("1 week") == 604800
+    with pytest.raises(ValueError, match="unsupported window width"):
+        interval_seconds("fortnight")
+    with pytest.raises(ValueError, match="unsupported window width"):
+        streaming_gauge_delta(
+            spark,
+            str(tmp_path / "in"),
+            str(tmp_path / "ck"),
+            str(tmp_path / "out"),
+            TOKENS_SCHEMA,
+            width="1 fortnight",
+        )
+
+
+def test_incremental_changes_merge_equals_batch(spark, raw4k, tmp_path):
+    """Time-ordered splits of the input fold into the changes/irate
+    carrier bit-equal to the batch build; interleaved same-bucket appends
+    are refused (sample-granularity watermark)."""
+    from rasusa_spark.operators.timeseries import changes_partials
+    from rasusa_spark.streaming.incremental import merge_changes_increment
+
+    state = str(tmp_path / "state")
+    cut = raw4k.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    first = raw4k.where(F.unix_micros("ts") <= cut)
+    second = raw4k.where(F.unix_micros("ts") > cut)
+
+    merge_changes_increment(spark, first, state, tier="1h", files=["f0"])
+    merged = merge_changes_increment(
+        spark, second, state, tier="1h", allow_late=True, files=["f1"]
+    )
+    batch = changes_partials(raw4k, 3600)
+    cols = [
+        "source", "bucket_start", "n_changes", "n_samples",
+        "u_first", "id_first", "v_first", "u_last", "id_last", "v_last",
+        "u_prev", "id_prev", "v_prev",
+    ]
+    key = lambda d: sorted(tuple(r) for r in d.select(*cols).collect())
+    assert key(merged) == key(batch) and batch.count() > 0
+
+    # disjoint ranges arriving in REVERSE order still fold exactly (the
+    # fold orders parts by first-sample key, not arrival)
+    state2 = str(tmp_path / "state2")
+    merge_changes_increment(
+        spark, second, state2, tier="1h", allow_late=True, files=["g0"]
+    )
+    rev = merge_changes_increment(
+        spark, first, state2, tier="1h", allow_late=True, files=["g1"]
+    )
+    assert key(rev) == key(batch)
+
+    # INTERLEAVED same-bucket increments (odd/even rows) must refuse at
+    # fold time — per-part change counts don't compose across interleaves
+    state3 = str(tmp_path / "state3")
+    merge_changes_increment(
+        spark,
+        raw4k.where(F.col("row_idx") % 2 == 0),
+        state3,
+        tier="1h",
+        files=["h0"],
+    )
+    with pytest.raises(Exception, match="overlap"):
+        merge_changes_increment(
+            spark,
+            raw4k.where(F.col("row_idx") % 2 == 1),
+            state3,
+            tier="1h",
+            allow_late=True,
+            files=["h1"],
+        ).collect()
+
+
+def test_streaming_gauge_changes_equals_batch(spark, tmp_path):
+    """Streamed per-sample change flags bucket-aggregate to exactly the
+    batch gauge_changes tier, including pairs spanning the micro-batch
+    boundary (carried state)."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from rasusa_spark.operators.timeseries import gauge_changes
+    from rasusa_spark.streaming.stateful import streaming_gauge_changes
+
+    rng = np.random.default_rng(23)
+    t0 = _dt.datetime(2026, 6, 1)
+    rows = []
+    eid = 0
+    for s in ("a", "b"):
+        t = 0
+        for _ in range(500):
+            t += int(rng.integers(10, 400))
+            # small value range so repeats (no-change pairs) are common
+            rows.append((s, eid, t0 + _dt.timedelta(seconds=t),
+                         int(rng.integers(0, 4))))
+            eid += 1
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("n_tok", T.IntegerType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    cut = t0 + _dt.timedelta(seconds=30_000)
+    inp = str(tmp_path / "chin")
+    df.where(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(f"{inp}/a")
+    df.where(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(f"{inp}/b")
+
+    q = streaming_gauge_changes(
+        spark, f"{inp}/*", str(tmp_path / "chck"), str(tmp_path / "chout"),
+        schema, width_s=3600, series_col="event_type",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    streamed = (
+        spark.read.parquet(str(tmp_path / "chout"))
+        .groupBy(
+            F.col("series").alias("event_type"),
+            F.timestamp_micros(F.col("bucket_xu")).alias("bucket_start"),
+        )
+        .agg(
+            F.sum("changed").alias("n_changes"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    batch = gauge_changes(
+        df, 3600, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    )
+    key = lambda d: sorted(
+        (r.event_type, r.bucket_start, int(r.n_changes), int(r.n_samples))
+        for r in d.collect()
+    )
+    assert key(streamed) == key(batch) and len(key(batch)) > 0

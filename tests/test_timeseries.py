@@ -1165,3 +1165,82 @@ def test_gauge_changes_and_irate(spark):
         v = g["n_tok"].to_numpy()
         key = (src, np.datetime64(int(bk), "us").astype("datetime64[us]").item())
         assert got[key] == (int((v[1:] != v[:-1]).sum()), len(v))
+
+
+def test_topn_rollup_refuses_sentinel_key_collision(spark):
+    """ADVICE r5: a GENUINE key equal to '__others__' must raise loudly
+    instead of silently merging with the tail fold row."""
+    from rasusa_spark.operators.timeseries import topn_rollup
+
+    df = spark.createDataFrame(
+        [
+            ("__others__", 5, "2026-01-01 00:00:00"),
+            ("u1", 3, "2026-01-01 00:10:00"),
+            ("u2", 2, "2026-01-01 00:20:00"),
+        ],
+        "user_id string, n_tok int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(Exception, match="reserved sentinel"):
+        topn_rollup(df, 86400, 1).collect()
+    # clean keys are unaffected
+    ok = topn_rollup(df.where(F.col("user_id") != "__others__"), 86400, 1)
+    assert ok.count() == 2
+
+
+# --- changes/irate mergeable carrier (VERDICT r5 Next #5) ------------------
+
+
+def test_changes_carrier_cascade_bit_equal(spark):
+    """changes_partials at 1h → changes_from_finer to 1d must bit-equal
+    changes_partials at 1d from raw — and both finalizers must reproduce
+    the direct gauge_changes / gauge_irate queries exactly."""
+    import numpy as np
+
+    from rasusa_spark.operators.timeseries import (
+        changes_finalize,
+        changes_from_finer,
+        changes_partials,
+        gauge_changes,
+        gauge_irate,
+        irate_finalize,
+    )
+    from rasusa_spark.synth import tokens_raw_df
+
+    raw = tokens_raw_df(spark, 3000, with_tokens=False, partitions=3)
+    fine = changes_partials(raw, 3600)
+    cascaded = changes_from_finer(fine, 86400)
+    direct = changes_partials(raw, 86400)
+
+    cols = [
+        "source", "bucket_start", "n_changes", "n_samples",
+        "u_first", "id_first", "v_first", "u_last", "id_last", "v_last",
+        "u_prev", "id_prev", "v_prev",
+    ]
+    key = lambda d: sorted(tuple(r) for r in d.select(*cols).collect())
+    assert key(cascaded) == key(direct) and direct.count() > 0
+
+    # finalizers == direct query operators (including the 1d tier built
+    # from the cascaded carrier, i.e. never touching raw)
+    gc_key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert gc_key(changes_finalize(cascaded)) == gc_key(
+        gauge_changes(raw, 86400)
+    )
+    assert gc_key(irate_finalize(cascaded)) == gc_key(gauge_irate(raw, 86400))
+
+    # layout invariance of the carrier build
+    fine13 = changes_partials(raw.repartition(13), 3600)
+    assert key(changes_from_finer(fine13, 86400)) == key(direct)
+
+
+def test_changes_fold_refuses_interleaved_parts(spark):
+    """Per-part change counts do not compose across interleaved samples —
+    the fold must raise, not silently mis-count."""
+    from rasusa_spark.operators.timeseries import changes_fold, changes_partials
+    from rasusa_spark.synth import tokens_raw_df
+
+    raw = tokens_raw_df(spark, 400, with_tokens=False, partitions=2)
+    # two parts covering INTERLEAVED (odd/even row) slices of each bucket
+    a = changes_partials(raw.where(F.col("row_idx") % 2 == 0), 86400)
+    b = changes_partials(raw.where(F.col("row_idx") % 2 == 1), 86400)
+    with pytest.raises(Exception, match="overlap"):
+        changes_fold(a.unionByName(b), ["source"]).collect()
