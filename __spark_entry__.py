@@ -546,6 +546,25 @@ def q_topn_users_1d(spark, sf_dir):
     ).select("bucket_start", "user_id", "value_sum", "n_rows", "n_keys")
 
 
+def q_topn_rerolled_1d(spark, sf_dir):
+    """Top-N from the cascaded carrier (VERDICT r5 Next #8): 1h
+    (bucket, key) integer partials re-rolled to 1d via topn_from_finer
+    (one skinny groupBy — raw untouched), then the shared rank +
+    __others__ finalizer. Oracle = the direct 1d top-5 from raw."""
+    from rasusa_spark.operators.timeseries import (
+        topn_finalize,
+        topn_from_finer,
+        topn_partials,
+    )
+
+    ev = _events_cents(spark, sf_dir)
+    p1h = topn_partials(ev, 3600, key_col="user_id", value_col="n_tok")
+    p1d = topn_from_finer(p1h, 86400, key_col="user_id")
+    return topn_finalize(p1d, 5, key_col="user_id").select(
+        "bucket_start", "user_id", "value_sum", "n_rows", "n_keys"
+    )
+
+
 def q_gauge_deriv_1d(spark, sf_dir):
     """PromQL deriv(): per-(event_type, day) least-squares slope of the
     metric over time (operators/timeseries.py:gauge_deriv) — five integer
@@ -1312,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gauge_irate_1d": q_gauge_irate_1d,
         "changes_rerolled_1d": q_changes_rerolled_1d,
         "irate_rerolled_1d": q_irate_rerolled_1d,
+        "topn_rerolled_1d": q_topn_rerolled_1d,
         "heavy_hitters_1d": q_heavy_hitters_1d,
         "hist_quantile_1d": q_hist_quantile_1d,
         "topn_users_1d": q_topn_users_1d,
@@ -1639,6 +1659,21 @@ _GOLDEN_ONEPASS_SEED1 = [
     "read11", "read14", "read15", "read16",
 ]
 
+
+_TOPN_USERS_1D_SQL = f"""
+WITH ev AS ({_EV_CENTS}),
+a AS (SELECT {_tb_sql(86400)} AS bucket_start, user_id,
+             CAST(sum(n_tok) AS BIGINT) AS value_sum, count(*) AS n_rows
+      FROM ev GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY bucket_start
+                 ORDER BY value_sum DESC, user_id ASC) AS rk FROM a)
+SELECT bucket_start,
+       CASE WHEN rk <= 5 THEN CAST(user_id AS VARCHAR)
+            ELSE '__others__' END AS user_id,
+       CAST(sum(value_sum) AS BIGINT) AS value_sum,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows, count(*) AS n_keys
+FROM r GROUP BY 1, 2
+"""
 
 _GAUGE_CHANGES_1D_SQL = f"""
 WITH ev AS ({_EV_CENTS}),
@@ -2141,20 +2176,11 @@ JOIN (SELECT * FROM est WHERE p = 0.95) e95
   ON e50.event_type = e95.event_type
  AND e50.bucket_start = e95.bucket_start
 """,
-        "topn_users_1d": f"""
-WITH ev AS ({_EV_CENTS}),
-a AS (SELECT {_tb_sql(86400)} AS bucket_start, user_id,
-             CAST(sum(n_tok) AS BIGINT) AS value_sum, count(*) AS n_rows
-      FROM ev GROUP BY 1, 2),
-r AS (SELECT *, row_number() OVER (PARTITION BY bucket_start
-                 ORDER BY value_sum DESC, user_id ASC) AS rk FROM a)
-SELECT bucket_start,
-       CASE WHEN rk <= 5 THEN CAST(user_id AS VARCHAR)
-            ELSE '__others__' END AS user_id,
-       CAST(sum(value_sum) AS BIGINT) AS value_sum,
-       CAST(sum(n_rows) AS BIGINT) AS n_rows, count(*) AS n_keys
-FROM r GROUP BY 1, 2
-""",
+        "topn_users_1d": _TOPN_USERS_1D_SQL,
+        # the cascaded top-N query re-rolls the 1h (bucket, key) carrier
+        # to 1d before ranking; its oracle is the DIRECT 1d computation —
+        # equality proves the carrier re-roll
+        "topn_rerolled_1d": _TOPN_USERS_1D_SQL,
         "cohort_retention_filled": """
 WITH act AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
              FROM events),

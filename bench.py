@@ -65,9 +65,43 @@ HEADLINE = [
 ]
 
 
+def _calibrate() -> dict:
+    """Fixed single-thread CPU canary (VERDICT r5 Next #2): every snapshot
+    carries its own host-window-quality scalar so cross-round comparisons
+    can tell code regressions from slow-VM windows. Two pinned kernels,
+    best-of-3 each: sha256 over a fixed 64 MiB buffer (instruction
+    throughput) and a 512×512 float64 matmul loop (memory/FPU). Observed
+    on an idle round-6 window: sha256 ≈ 1250 MB/s, matmul ≈ 14 GFLOP/s —
+    a snapshot whose canary sits far below the committed snapshots' band
+    was taken in a degraded host window."""
+    import hashlib
+
+    import numpy as np
+
+    buf = b"\x5a" * (64 << 20)
+    sha_walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hashlib.sha256(buf).hexdigest()
+        sha_walls.append(time.perf_counter() - t0)
+    a = np.arange(512 * 512, dtype="float64").reshape(512, 512) / 1e5
+    mm_walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            a = (a @ a.T) % 7.0 + 1.0
+        mm_walls.append(time.perf_counter() - t0)
+    flops = 8 * 2 * 512**3
+    return {
+        "sha256_mb_s": round((64 << 20) / min(sha_walls) / 1e6, 1),
+        "matmul_gflop_s": round(flops / min(mm_walls) / 1e9, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    calibration = _calibrate()  # before the JVM exists: pure host signal
     spark = get_spark("rasusa_spark_bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(int(cpus), 8))
     spark.sparkContext.setLogLevel("ERROR")
@@ -113,6 +147,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": int(cpus),
+                "calibration": calibration,
             }
         )
     )

@@ -804,13 +804,88 @@ def topn_rollup(
     (use cms/heavy-hitters to pre-select candidate keys)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    agg = topn_partials(
+        df,
+        width_s,
+        key_col=key_col,
+        series_cols=series_cols,
+        ts_col=ts_col,
+        value_col=value_col,
+        origin_s=origin_s,
+    ).withColumnRenamed(key_col, "_key")
+    return _topn_finalize(agg, n, key_col, series_cols)
+
+
+def topn_partials(
+    df: DataFrame,
+    width_s: int,
+    *,
+    key_col: str = "user_id",
+    series_cols: tuple[str, ...] | list[str] = (),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """The top-N tier's mergeable STATE (VERDICT r5 Next #8): per
+    (series, bucket, key) exact integer (value_sum, n_rows) — the one
+    data-scale combinable groupBy. Integer sums are exactly associative,
+    so the carrier re-rolls to coarser tiers (``topn_from_finer``) and
+    merges O(delta) (``merge_topn_increment``) bit-for-bit; any top-N cut
+    over the re-rolled carrier equals the cut over raw."""
     b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
-    agg = df.groupBy(
-        *series_cols, b.alias("bucket_start"), F.col(key_col).alias("_key")
+    return df.groupBy(
+        *series_cols, b.alias("bucket_start"), F.col(key_col).alias(key_col)
     ).agg(
         F.sum(F.col(value_col).cast("long")).alias("value_sum"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def topn_from_finer(
+    partials: DataFrame,
+    width_s: int,
+    *,
+    key_col: str = "user_id",
+    series_cols: tuple[str, ...] | list[str] = (),
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """Re-roll the top-N carrier to ``width_s`` buckets WITHOUT touching
+    raw: ONE skinny combinable groupBy over the already-aggregated
+    (bucket, key) table. Output schema == ``topn_partials`` at
+    ``width_s``; bit-equal to building from raw (integer sums)."""
+    b = time_bucket_expr(width_s, "bucket_start", origin_s=origin_s)
+    return (
+        partials.withColumn("bucket_start", b)
+        .groupBy(*series_cols, "bucket_start", key_col)
+        .agg(
+            F.sum("value_sum").alias("value_sum"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
+def topn_finalize(
+    partials: DataFrame,
+    n: int,
+    *,
+    key_col: str = "user_id",
+    series_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """``topn_rollup``-shaped output from a carrier table: the rank window
+    + ``__others__`` fold over the AGGREGATED (bucket, key) rows only."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return _topn_finalize(
+        partials.withColumnRenamed(key_col, "_key"), n, key_col, series_cols
+    )
+
+
+def _topn_finalize(
+    agg: DataFrame,
+    n: int,
+    key_col: str,
+    series_cols: tuple[str, ...] | list[str],
+) -> DataFrame:
     wd = Window.partitionBy(*series_cols, "bucket_start").orderBy(
         F.desc("value_sum"), F.asc("_key")
     )

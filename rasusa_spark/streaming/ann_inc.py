@@ -67,7 +67,23 @@ def _paths(state_path: str) -> dict[str, str]:
         "manifest": os.path.join(state_path, "ivf_files"),
         "staging": os.path.join(state_path, "ivf_txn_staging"),
         "intent": os.path.join(state_path, "ivf_txn_intent"),
+        "compact_staging": os.path.join(state_path, "ivf_compact_staging"),
+        "compact_intent": os.path.join(state_path, "ivf_compact_intent"),
     }
+
+
+def _list_txn_dirs(spark: SparkSession, tree: str) -> list[str]:
+    """Driver-side METADATA listing of a store tree's ``txn=<id>``
+    children (Hadoop FS — local/HDFS/S3A alike; O(txns), never row
+    data)."""
+    fs, root = _fs(spark, tree)
+    if not fs.exists(root):
+        return []
+    return sorted(
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("txn=")
+    )
 
 
 def _txn_id(files: list[str]) -> str:
@@ -122,6 +138,103 @@ def recover_pending_ivf(spark: SparkSession, state_path: str) -> bool:
     return True
 
 
+def _compact_promote_ivf(spark: SparkSession, state_path: str) -> None:
+    """Replayable compaction promote: write the consolidated txn directory
+    (static target ⇒ idempotent overwrite), THEN delete the folded txn
+    dirs (idempotent), then delete the intent (the commit point) and
+    scratch. A kill anywhere is repaired by re-running this."""
+    p = _paths(state_path)
+    intent_rows = spark.read.parquet(p["compact_intent"]).collect()
+    folded = sorted(r.txn for r in intent_rows)
+    schema = T.StructType.fromDDL(intent_rows[0].staged_schema)
+    cid = "c-" + _txn_id(folded)
+
+    staged = spark.read.schema(schema).parquet(p["compact_staging"])
+    staged.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+        os.path.join(p["cells"], f"txn={cid}")
+    )
+    for t in folded:
+        _fs_delete(spark, os.path.join(p["cells"], f"txn={t}"))
+    _fs_delete(spark, p["compact_intent"])
+    _fs_delete(spark, p["compact_staging"])
+
+
+def recover_pending_ivf_compaction(spark: SparkSession, state_path: str) -> bool:
+    """Roll a prepared compaction forward (intent + _SUCCESS present) or
+    clear pre-intent scratch. Run before any read/merge/compact of the
+    store — a crash mid-promote can leave BOTH the consolidated dir and
+    some folded dirs on disk (duplicate rows) until replayed."""
+    p = _paths(state_path)
+    fs, intent_jpath = _fs(spark, p["compact_intent"])
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    if not fs.exists(intent_jpath) or not fs.exists(
+        jvm_path(os.path.join(p["compact_intent"], "_SUCCESS"))
+    ):
+        _fs_delete(spark, p["compact_intent"])
+        _fs_delete(spark, p["compact_staging"])
+        return False
+    _compact_promote_ivf(spark, state_path)
+    return True
+
+
+def compact_ivf_cells(spark: SparkSession, state_path: str) -> dict:
+    """Fold all committed ``cells/txn=*`` directories into ONE
+    consolidated txn (one file per ``ivf_cell`` partition) — the
+    maintenance action the module header promises (VERDICT r5 Next #4,
+    the incremental-store analog of ``compact_tokens_table``): k
+    increments accrete k files per probed cell, so probe cost grows with
+    increment count, not bytes; compaction restores it.
+
+    Search identity: the consolidated store holds exactly the same rows
+    (pinned by test — ``ivf_store_topk`` results are unchanged). Crash
+    safety: stage → intent (with _SUCCESS, the prepare commit point) →
+    replayable promote; only fully-committed ingest txns are folded
+    (``recover_pending_ivf`` runs first). The ingest manifest is
+    untouched — compaction moves rows between directories, never changes
+    which input files were ingested. Returns
+    ``{"folded_txns", "files_before", "files_after"}``."""
+    recover_pending_ivf(spark, state_path)
+    recover_pending_ivf_compaction(spark, state_path)
+    p = _paths(state_path)
+
+    def _count_files(tree: str) -> int:
+        fs, root = _fs(spark, tree)
+        if not fs.exists(root):
+            return 0
+        it = fs.listFiles(root, True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    txns = _list_txn_dirs(spark, p["cells"])
+    if len(txns) <= 1:
+        return {
+            "folded_txns": 0,
+            "files_before": _count_files(p["cells"]),
+            "files_after": _count_files(p["cells"]),
+        }
+    files_before = _count_files(p["cells"])
+
+    df = spark.read.option("basePath", p["cells"]).parquet(p["cells"])
+    # one shuffle on the cell key → exactly one output file per cell
+    # (all of a cell's rows hash to one task; partitionBy then emits one
+    # file per (task, cell))
+    staged = df.drop("txn").repartition("ivf_cell")
+    staged.write.mode("overwrite").parquet(p["compact_staging"])
+    spark.createDataFrame(
+        [(t, staged.schema.toDDL()) for t in txns],
+        "txn string, staged_schema string",
+    ).coalesce(1).write.mode("overwrite").parquet(p["compact_intent"])
+    _compact_promote_ivf(spark, state_path)
+    return {
+        "folded_txns": len(txns),
+        "files_before": files_before,
+        "files_after": _count_files(p["cells"]),
+    }
+
+
 def load_centroids(spark: SparkSession, state_path: str) -> np.ndarray:
     """The store's pinned coarse quantizer (row i = centroid of cell i)."""
     p = _paths(state_path)
@@ -149,6 +262,7 @@ def merge_ivf_increment(
     and appends it under its own txn directory. ``emb_delta`` must be
     the rows of exactly ``files``; vec ids globally unique."""
     recover_pending_ivf(spark, state_path)
+    recover_pending_ivf_compaction(spark, state_path)
     p = _paths(state_path)
 
     manifest = _read_parquet_or_none(spark, p["manifest"])
@@ -204,7 +318,10 @@ def ivf_store_topk(
     pinned centroids, then a partition-pruned scan (``ivf_cell IN
     (probes)`` prunes both partition levels' non-matching directories)
     and the exact cosine top-k. Identical results to ``ivf_topk_pruned``
-    over a batch-written store with the same centroids."""
+    over a batch-written store with the same centroids. A crashed
+    compaction is rolled forward first (one FS stat when clean) — a
+    half-promoted compaction would otherwise read duplicate rows."""
+    recover_pending_ivf_compaction(spark, state_path)
     centroids = load_centroids(spark, state_path)
     q = np.asarray(query, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)

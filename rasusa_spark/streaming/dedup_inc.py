@@ -15,7 +15,11 @@ folds each new batch of document files in O(delta):
   shard partition column; at 100 TB the store is additionally bucketed by
   (band, bucket) for a shuffle-free sort-merge probe);
 - pairs are verified by signature agreement (the same
-  ``signature_agreement`` expression the batch path uses) and appended.
+  ``signature_agreement`` expression the batch path uses) and appended;
+  the signature store is itself shard-partitioned
+  (``sigs/txn=<id>/sig_shard=<pmod(hash(id), n_shards)>/``) so the
+  verification joins read only the shards the increment's candidate ids
+  land in — O(delta), not O(corpus), in I/O (VERDICT r5 Next #3).
 
 Exactness (the kill-resume pytest contract): signatures are a
 deterministic function of (seed, text) — never partition layout — and
@@ -102,7 +106,21 @@ def _paths(state_path: str) -> dict[str, str]:
         "staging_bands": os.path.join(state_path, "minhash_txn_bands"),
         "staging_pairs": os.path.join(state_path, "minhash_txn_pairs"),
         "intent": os.path.join(state_path, "minhash_txn_intent"),
+        "compact_staging_sigs": os.path.join(
+            state_path, "minhash_compact_sigs"
+        ),
+        "compact_staging_bands": os.path.join(
+            state_path, "minhash_compact_bands"
+        ),
+        "compact_intent": os.path.join(state_path, "minhash_compact_intent"),
     }
+
+
+def _sig_shard_expr(id_col_expr, n_shards: int):
+    """Shard assignment for the signature store: pmod of the engine hash
+    works for ANY id type (long or string) — a store-internal layout key,
+    never a cross-engine contract."""
+    return F.pmod(F.hash(id_col_expr), F.lit(n_shards)).cast("int")
 
 
 def _txn_id(files: list[str]) -> str:
@@ -139,7 +157,12 @@ def _txn_promote_dedup(spark: SparkSession, state_path: str) -> None:
     }
 
     sigs = spark.read.schema(schemas["sigs_schema"]).parquet(p["staging_sigs"])
-    sigs.write.mode("overwrite").parquet(os.path.join(p["sigs"], f"txn={txn}"))
+    # sig_shard is a data column in staging; promoting it to a partition
+    # directory gives the verification join real partition pruning
+    # (VERDICT r5 Next #3: the per-increment sigs scan was O(corpus))
+    sigs.write.mode("overwrite").partitionBy("sig_shard").parquet(
+        os.path.join(p["sigs"], f"txn={txn}")
+    )
     bands = spark.read.schema(schemas["bands_schema"]).parquet(
         p["staging_bands"]
     )  # shard is a data column here
@@ -177,6 +200,121 @@ def recover_pending_dedup(spark: SparkSession, state_path: str) -> bool:
         return False
     _txn_promote_dedup(spark, state_path)
     return True
+
+
+def _compact_promote_dedup(spark: SparkSession, state_path: str) -> None:
+    """Replayable compaction promote (bands + sigs together): write each
+    consolidated txn directory (static targets ⇒ idempotent), delete the
+    folded txn dirs, then the intent (commit point) and scratch."""
+    p = _paths(state_path)
+    intent_rows = spark.read.parquet(p["compact_intent"]).collect()
+    folded = sorted(r.txn for r in intent_rows)
+    cid = "c-" + _txn_id(folded)
+    first = intent_rows[0]
+
+    bands = spark.read.schema(T.StructType.fromDDL(first.bands_schema)).parquet(
+        p["compact_staging_bands"]
+    )
+    bands.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(p["bands"], f"txn={cid}")
+    )
+    sigs = spark.read.schema(T.StructType.fromDDL(first.sigs_schema)).parquet(
+        p["compact_staging_sigs"]
+    )
+    sigs.write.mode("overwrite").partitionBy("sig_shard").parquet(
+        os.path.join(p["sigs"], f"txn={cid}")
+    )
+    for t in folded:
+        _fs_delete(spark, os.path.join(p["bands"], f"txn={t}"))
+        _fs_delete(spark, os.path.join(p["sigs"], f"txn={t}"))
+    _fs_delete(spark, p["compact_intent"])
+    _fs_delete(spark, p["compact_staging_bands"])
+    _fs_delete(spark, p["compact_staging_sigs"])
+
+
+def recover_pending_dedup_compaction(
+    spark: SparkSession, state_path: str
+) -> bool:
+    """Roll a prepared dedup-store compaction forward, or clear pre-intent
+    scratch. Run before any merge/compact — a half-promoted compaction
+    leaves duplicate band/sig rows until replayed."""
+    p = _paths(state_path)
+    fs, intent_jpath = _fs(spark, p["compact_intent"])
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    if not fs.exists(intent_jpath) or not fs.exists(
+        jvm_path(os.path.join(p["compact_intent"], "_SUCCESS"))
+    ):
+        _fs_delete(spark, p["compact_intent"])
+        _fs_delete(spark, p["compact_staging_bands"])
+        _fs_delete(spark, p["compact_staging_sigs"])
+        return False
+    _compact_promote_dedup(spark, state_path)
+    return True
+
+
+def compact_minhash_store(spark: SparkSession, state_path: str) -> dict:
+    """Fold all committed ``bands/txn=*/shard=*`` and
+    ``sigs/txn=*/sig_shard=*`` directories into ONE consolidated txn each,
+    one file per shard partition (VERDICT r5 Next #4): k increments
+    accrete k files per probed shard, so probe cost grows with increment
+    count; compaction restores file-count-proportional-to-bytes. Probe
+    identity (identical candidate/verification inputs, hence identical
+    pairs) is pinned by test; the pairs tree is append-only output and is
+    NOT compacted here (no pruned reads depend on its layout). Crash
+    safety: stage both datasets → one intent (_SUCCESS = prepare commit)
+    → replayable promote; only fully-committed ingest txns are folded.
+    The ingest manifest is untouched."""
+    from rasusa_spark.streaming.ann_inc import _list_txn_dirs
+
+    recover_pending_dedup(spark, state_path)
+    recover_pending_dedup_compaction(spark, state_path)
+    p = _paths(state_path)
+
+    def _count_files(tree: str) -> int:
+        fs, root = _fs(spark, tree)
+        if not fs.exists(root):
+            return 0
+        it = fs.listFiles(root, True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    txns = _list_txn_dirs(spark, p["bands"])
+    if set(txns) != set(_list_txn_dirs(spark, p["sigs"])):
+        raise ValueError(
+            "bands/sigs txn sets differ — the store is mid-recovery; run "
+            "recover_pending_dedup first"
+        )
+    before = _count_files(p["bands"]) + _count_files(p["sigs"])
+    if len(txns) <= 1:
+        return {"folded_txns": 0, "files_before": before, "files_after": before}
+
+    bands = (
+        spark.read.option("basePath", p["bands"])
+        .parquet(p["bands"])
+        .drop("txn")
+        .repartition("shard")
+    )
+    bands.write.mode("overwrite").parquet(p["compact_staging_bands"])
+    sigs = (
+        spark.read.option("basePath", p["sigs"])
+        .parquet(p["sigs"])
+        .drop("txn")
+        .repartition("sig_shard")
+    )
+    sigs.write.mode("overwrite").parquet(p["compact_staging_sigs"])
+    spark.createDataFrame(
+        [(t, bands.schema.toDDL(), sigs.schema.toDDL()) for t in txns],
+        "txn string, bands_schema string, sigs_schema string",
+    ).coalesce(1).write.mode("overwrite").parquet(p["compact_intent"])
+    _compact_promote_dedup(spark, state_path)
+    return {
+        "folded_txns": len(txns),
+        "files_before": before,
+        "files_after": _count_files(p["bands"]) + _count_files(p["sigs"]),
+    }
 
 
 def _check_config(spark: SparkSession, state_path: str, cfg: dict) -> None:
@@ -251,6 +389,7 @@ def merge_minhash_increment(
     shards, and one signature-lookup join per candidate side. Nothing
     re-reads previously-ingested text, ever."""
     recover_pending_dedup(spark, state_path)
+    recover_pending_dedup_compaction(spark, state_path)
     p = _paths(state_path)
     id_type = docs_delta.schema[id_col].dataType.simpleString()
     _check_config(
@@ -323,14 +462,35 @@ def merge_minhash_increment(
         cand = nn.unionByName(no).distinct()
     else:
         cand = nn.distinct()
+    cand = cand.persist()
 
-    # verification signatures: stored sigs + this delta's (each doc's
-    # signature exists in exactly one txn — ids are globally unique)
+    # verification signatures: this delta's + ONLY the stored sig shards
+    # the candidate ids land in (VERDICT r5 Next #3 — the sigs store is
+    # laid out as sigs/txn=*/sig_shard=pmod(hash(id), n_shards)/, so both
+    # candidate→signature joins read O(delta-touched shards), not the
+    # whole corpus; ids are globally unique, so each signature exists in
+    # exactly one txn)
     stored_sigs = _read_parquet_or_none(spark, p["sigs"])
     sig_lookup = sigs_delta.select(id_col, "signature")
     if stored_sigs is not None:
+        # bounded driver list (<= n_shards entries)
+        touched_sig = [
+            r[0]
+            for r in cand.select(
+                F.explode(
+                    F.array(
+                        _sig_shard_expr(F.col("id_a"), n_shards),
+                        _sig_shard_expr(F.col("id_b"), n_shards),
+                    )
+                ).alias("s")
+            )
+            .distinct()
+            .collect()
+        ]
         sig_lookup = sig_lookup.unionByName(
-            stored_sigs.select(id_col, "signature")
+            stored_sigs.where(F.col("sig_shard").isin(touched_sig)).select(
+                id_col, "signature"
+            )
         )
     pairs_delta = (
         cand.join(
@@ -355,7 +515,9 @@ def merge_minhash_increment(
 
     # prepare (durable staging), intent LAST, then replayable promote —
     # identical crash-safety posture to the tier merges
-    sigs_out = sigs_delta.select(id_col, "signature")
+    sigs_out = sigs_delta.select(id_col, "signature").withColumn(
+        "sig_shard", _sig_shard_expr(F.col(id_col), n_shards)
+    )
     sigs_out.write.mode("overwrite").parquet(p["staging_sigs"])
     bands_delta.write.mode("overwrite").parquet(p["staging_bands"])
     pairs_delta.write.mode("overwrite").parquet(p["staging_pairs"])
@@ -371,5 +533,6 @@ def merge_minhash_increment(
     ).coalesce(1).write.mode("overwrite").parquet(p["intent"])
     sigs_delta.unpersist()
     bands_delta.unpersist()
+    cand.unpersist()
     _txn_promote_dedup(spark, state_path)
     return minhash_pairs_store(spark, state_path)

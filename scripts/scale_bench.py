@@ -39,6 +39,16 @@ REPEATS = int(os.environ.get("SCALE_BENCH_REPEATS", 3))  # report best-of
 # whose aggregate bandwidth scales with executor count, so a fixed-bandwidth
 # local disk would understate scaling by design, not by algorithm.
 SINK_DIR = os.environ.get("SCALE_BENCH_SINK", "/dev/shm/rasusa_bench")
+# Row-identity column for the selection stage (VERDICT r5 Next #1): the
+# lengths-only selection needs (id, n_tok, group, ts) and the random keys
+# are f(seed, group, id) for ANY id type, so the int64 row id is the
+# default — the parquet string-decode of doc_id was the worst-scaling
+# phase of the pipeline (~0.65 at 2→8 cores on this memory-bus-bound VM)
+# and nothing in the selection semantics needs the string. At 100 TB this
+# is a storage-format decision: keep ids int64/dictionary-encoded in the
+# table, or pay the decode. SCALE_BENCH_ID_COL=doc_id restores the old
+# blend for comparison.
+ID_COL = os.environ.get("SCALE_BENCH_ID_COL", "row_idx")
 
 
 def ensure_data() -> None:
@@ -70,7 +80,7 @@ def run_one(cpus: int) -> dict:
     if MAX_PARTITION_BYTES:
         spark.conf.set("spark.sql.files.maxPartitionBytes", MAX_PARTITION_BYTES)
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.read.parquet(DATA_DIR).select("doc_id", "n_tok", "source", "ts")
+    df = spark.read.parquet(DATA_DIR).select(ID_COL, "n_tok", "source", "ts")
     totals = df.agg(
         F.sum(F.col("n_tok").cast("long")), F.count(F.lit(1))
     ).collect()[0]
@@ -88,6 +98,7 @@ def run_one(cpus: int) -> dict:
             mode="bases",
             bases=50_000_000,
             strategy="threshold",
+            id_col=ID_COL,
         )
         # production shape: retained rows land back in the table store;
         # every tier then reads the materialized selection, not its lineage
@@ -107,7 +118,7 @@ def run_one(cpus: int) -> dict:
     small = downsample(
         df.limit(100_000).withColumn("bucket_start", F.date_trunc("day", "ts")),
         seed=1, group_cols=("source", "bucket_start"), mode="bases",
-        bases=1_000_000, strategy="threshold",
+        bases=1_000_000, strategy="threshold", id_col=ID_COL,
     )
     small.write.format("noop").mode("overwrite").save()
     compress_metric_streams(
@@ -126,18 +137,125 @@ def run_one(cpus: int) -> dict:
         "tokens": total_tokens,
         "rows_per_sec": round(total_rows / wall),
         "tokens_per_sec": round(total_tokens / wall),
+        "id_col": ID_COL,
     }
+
+
+def run_phases(cpus: int) -> dict:
+    """Phase-level decomposition (VERDICT r5 Next #1 'done' alternative):
+    time each pipeline ingredient IN ISOLATION at this core count so the
+    per-leg 2→8 scaling can be compared — (a) int-column parquet scan,
+    (b) string-column parquet scan (doc_id decode, the suspected
+    memory-bus-bound leg), (c) the hash+threshold selection arithmetic
+    over int ids (pure CPU on scanned ints). Best-of-REPEATS each."""
+    from pyspark.sql import functions as F
+
+    from rasusa_spark.session import get_spark
+
+    spark = get_spark(
+        f"scale_phase_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=SHUFFLE_PARTS,
+    )
+    if MAX_PARTITION_BYTES:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", MAX_PARTITION_BYTES)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(make_df) -> float:
+        walls = []
+        for _ in range(REPEATS):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            make_df().write.format("noop").mode("overwrite").save()
+            walls.append(time.perf_counter() - t0)
+        return min(walls)
+
+    base = spark.read.parquet(DATA_DIR)
+
+    def int_scan():
+        return base.select(
+            F.sum(F.col("n_tok").cast("long")).alias("s"),
+            F.sum("row_idx").alias("r"),
+        )
+
+    def string_scan():
+        return base.select(
+            F.sum(F.length("doc_id").cast("long")).alias("s")
+        )
+
+    def hash_select():
+        # the selection stage's per-row arithmetic over int ids only:
+        # xxhash64 key + bucket assignment + a cheap predicate
+        return base.select("row_idx", "n_tok", "source", "ts").select(
+            F.sum(
+                F.shiftrightunsigned(
+                    F.xxhash64(F.lit(42), "source", "row_idx"), 33
+                )
+            ).alias("k"),
+            F.sum(
+                F.when(F.col("n_tok") > 1000, F.col("n_tok").cast("long"))
+                .otherwise(0)
+            ).alias("w"),
+        )
+
+    # warm codegen paths
+    int_scan().write.format("noop").mode("overwrite").save()
+    string_scan().write.format("noop").mode("overwrite").save()
+    hash_select().write.format("noop").mode("overwrite").save()
+
+    out = {
+        "cpus": cpus,
+        "int_scan_sec": round(timed(int_scan), 3),
+        "string_scan_sec": round(timed(string_scan), 3),
+        "hash_select_sec": round(timed(hash_select), 3),
+    }
+    spark.stop()
+    return out
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run-one", type=int, default=None)
+    ap.add_argument("--run-phases", type=int, default=None)
+    ap.add_argument("--phase-probe", action="store_true")
     ap.add_argument("--cpu-list", default="8,32")
     args = ap.parse_args()
 
     ensure_data()
     if args.run_one:
         print(json.dumps(run_one(args.run_one)))
+        return
+    if args.run_phases:
+        print(json.dumps(run_phases(args.run_phases)))
+        return
+
+    if args.phase_probe:
+        # per-leg scaling: each leg in its own pinned JVM per core count
+        legs = []
+        for cpus in [int(c) for c in args.cpu_list.split(",")]:
+            pin = (
+                ["taskset", "-c", f"0-{cpus - 1}"]
+                if os.environ.get("SCALE_BENCH_TASKSET") == "1"
+                else []
+            )
+            out = subprocess.run(
+                pin + [sys.executable, os.path.abspath(__file__),
+                       "--run-phases", str(cpus)],
+                capture_output=True, text=True, check=True, cwd=REPO,
+            )
+            legs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+            print(legs[-1])
+        lo, hi = legs[0], legs[-1]
+        factor = hi["cpus"] / lo["cpus"]
+        eff = {
+            k.removesuffix("_sec"): round(
+                (lo[k] / hi[k]) / factor, 3
+            )
+            for k in ("int_scan_sec", "string_scan_sec", "hash_select_sec")
+        }
+        summary = {"legs": legs, "per_leg_efficiency": eff}
+        print(json.dumps(summary))
+        with open(os.path.join(REPO, "BENCH", "phase_probe.json"), "w") as f:
+            json.dump(summary, f, indent=2)
         return
 
     results = []

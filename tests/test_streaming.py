@@ -1388,3 +1388,336 @@ def test_streaming_gauge_changes_equals_batch(spark, tmp_path):
         for r in d.collect()
     )
     assert key(streamed) == key(batch) and len(key(batch)) > 0
+
+
+def test_dedup_sigs_store_shard_pruning(spark, doubled_docs, tmp_path):
+    """VERDICT r5 Next #3: the persisted signature store is laid out as
+    sigs/txn=*/sig_shard=* and the verification join's stored-side scan
+    prunes to the candidate ids' shards (PartitionFilters in the plan) —
+    O(delta) I/O, not O(corpus), per increment."""
+    import contextlib
+    import glob
+    import io
+    import os
+
+    import rasusa_spark.streaming.dedup_inc as dd
+
+    state = str(tmp_path / "state")
+    inp = str(tmp_path / "docs")
+    originals = doubled_docs.where(F.col("doc_id") < 100000)
+    clones = doubled_docs.where(F.col("doc_id") >= 100000)
+    originals.coalesce(1).write.parquet(f"{inp}/a")
+    clones.coalesce(1).write.parquet(f"{inp}/b")
+    fa = sorted(glob.glob(f"{inp}/a/*.parquet"))
+    fb = sorted(glob.glob(f"{inp}/b/*.parquet"))
+
+    dd.merge_minhash_increment(spark, spark.read.parquet(*fa), state, files=fa)
+
+    # layout: every sigs txn directory is shard-partitioned
+    shard_dirs = glob.glob(f"{state}/minhash_store/sigs/txn=*/sig_shard=*")
+    assert shard_dirs, "sigs store is not shard-partitioned"
+    n_shards_on_disk = len(
+        {os.path.basename(d) for d in shard_dirs}
+    )
+    assert n_shards_on_disk > 1
+
+    # the pruned stored-side read (what increment 2's verification join
+    # performs) carries PartitionFilters on sig_shard — same assertion
+    # style as the bands-store pruning test
+    some = [int(os.path.basename(shard_dirs[0]).split("=")[1])]
+    pruned = spark.read.parquet(f"{state}/minhash_store/sigs").where(
+        F.col("sig_shard").isin(some)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "sig_shard" in plan
+
+    # functional: increment 2 (clones of increment 1) still reproduces
+    # batch pairs exactly through the pruned verification path
+    from rasusa_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_dedup_caches,
+    )
+
+    sig_glob = f"{state}/minhash_store/sigs/txn=*/sig_shard=*/*.parquet"
+    mtimes_before = {p: os.path.getmtime(p) for p in glob.glob(sig_glob)}
+
+    got = dd.merge_minhash_increment(
+        spark, spark.read.parquet(*fb), state, files=fb
+    )
+    batch = minhash_lsh_pairs(
+        doubled_docs, n_perm=64, n_bands=32, threshold=0.5
+    )
+    assert _pairs_rows(got) == _pairs_rows(batch)
+    release_dedup_caches()
+
+    # two txn dirs now exist; prior-txn sig files were never rewritten
+    after = glob.glob(sig_glob)
+    txns = {p.split("/txn=")[1].split("/")[0] for p in after}
+    assert len(txns) == 2
+    for p, m in mtimes_before.items():
+        assert os.path.getmtime(p) == m, f"prior txn sig rewritten: {p}"
+
+
+def test_compact_ivf_cells_identity_and_recovery(spark, tmp_path, monkeypatch):
+    """VERDICT r5 Next #4: compaction folds cells/txn=* into one
+    consolidated txn with one file per cell — search results identical,
+    file count drops to n_cells, and a crash between the compaction
+    intent and promote rolls forward without duplicating rows."""
+    import glob
+
+    import numpy as np
+
+    import rasusa_spark.streaming.ann_inc as ann
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ids = sorted(r.vec_id for r in embs.select("vec_id").collect())
+    n = len(ids)
+    state = str(tmp_path / "astate")
+    inp = str(tmp_path / "aemb")
+    n_inc = 5
+    files = []
+    for k in range(n_inc):
+        lo, hi = ids[k * n // n_inc], ids[min(n, (k + 1) * n // n_inc) - 1]
+        sl = embs.where((F.col("vec_id") >= lo) & (F.col("vec_id") <= hi))
+        sl.coalesce(1).write.parquet(f"{inp}/{k}")
+        files.append(sorted(glob.glob(f"{inp}/{k}/*.parquet")))
+    for k in range(n_inc):
+        ann.merge_ivf_increment(
+            spark, spark.read.parquet(*files[k]), state, files=files[k]
+        )
+
+    dim = len(embs.select("embedding").first()[0])
+    rng = np.random.default_rng(31)
+    queries = [[float(x) for x in rng.normal(size=dim)] for _ in range(3)]
+
+    def probe_all():
+        return [
+            [
+                (r.vec_id, round(r.cosine, 9))
+                for r in ann.ivf_store_topk(spark, state, q, k=5, nprobe=4).collect()
+            ]
+            for q in queries
+        ]
+
+    before = probe_all()
+    cells_glob = f"{state}/ivf_store/cells/txn=*/ivf_cell=*/*.parquet"
+    files_before = len(glob.glob(cells_glob))
+    assert files_before > 16  # 5 txns × probed cells accrete files
+
+    stats = ann.compact_ivf_cells(spark, state)
+    assert stats["folded_txns"] == n_inc
+    files_after = len(glob.glob(cells_glob))
+    assert files_after == stats["files_after"] <= 16  # one file per cell
+    assert files_after < files_before
+    # exactly one txn dir remains; total rows conserved
+    txns = ann._list_txn_dirs(spark, f"{state}/ivf_store/cells")
+    assert len(txns) == 1 and txns[0].startswith("c-")
+    assert spark.read.parquet(f"{state}/ivf_store/cells").count() == n
+    assert probe_all() == before
+
+    # second compaction is a no-op
+    stats2 = ann.compact_ivf_cells(spark, state)
+    assert stats2["folded_txns"] == 0
+
+    # ingest another increment, then CRASH the compaction promote after
+    # its intent commits — searches and merges must self-heal
+    extra = embs.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    extra.coalesce(1).write.parquet(f"{inp}/x")
+    fx = sorted(glob.glob(f"{inp}/x/*.parquet"))
+    ann.merge_ivf_increment(spark, spark.read.parquet(*fx), state, files=fx)
+    expected_with_clones = probe_all()  # clones now legitimately rank
+
+    real = ann._compact_promote_ivf
+    monkeypatch.setattr(
+        ann,
+        "_compact_promote_ivf",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        ann.compact_ivf_cells(spark, state)
+    monkeypatch.setattr(ann, "_compact_promote_ivf", real)
+
+    # a search on the wedged store rolls the compaction forward first:
+    # results identical to pre-crash, no duplicated rows, one txn dir
+    got = probe_all()
+    assert got == expected_with_clones
+    assert spark.read.parquet(f"{state}/ivf_store/cells").count() == 2 * n
+    assert len(ann._list_txn_dirs(spark, f"{state}/ivf_store/cells")) == 1
+
+
+def test_compact_minhash_store_identity(spark, doubled_docs, tmp_path):
+    """Compacting bands+sigs mid-stream changes nothing observable: the
+    next increment's emitted pairs still bit-equal batch LSH, file counts
+    drop, the manifest/geometry guards survive."""
+    import glob
+
+    import rasusa_spark.streaming.dedup_inc as dd
+    from rasusa_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_dedup_caches,
+    )
+
+    state = str(tmp_path / "state")
+    inp = str(tmp_path / "docs")
+    originals = doubled_docs.where(F.col("doc_id") < 100000)
+    med = sorted(r.doc_id for r in originals.select("doc_id").collect())
+    med = med[len(med) // 2]
+    slices = {
+        "a": originals.where(F.col("doc_id") < med),
+        "b": originals.where(F.col("doc_id") >= med),
+        "c": doubled_docs.where(F.col("doc_id") >= 100000),
+    }
+    files = {}
+    for k, sl in slices.items():
+        sl.coalesce(1).write.parquet(f"{inp}/{k}")
+        files[k] = sorted(glob.glob(f"{inp}/{k}/*.parquet"))
+
+    dd.merge_minhash_increment(
+        spark, spark.read.parquet(*files["a"]), state, files=files["a"]
+    )
+    dd.merge_minhash_increment(
+        spark, spark.read.parquet(*files["b"]), state, files=files["b"]
+    )
+
+    band_glob = f"{state}/minhash_store/bands/txn=*/shard=*/*.parquet"
+    sig_glob = f"{state}/minhash_store/sigs/txn=*/sig_shard=*/*.parquet"
+    before = len(glob.glob(band_glob)) + len(glob.glob(sig_glob))
+    stats = dd.compact_minhash_store(spark, state)
+    assert stats["folded_txns"] == 2
+    after = len(glob.glob(band_glob)) + len(glob.glob(sig_glob))
+    assert after == stats["files_after"] < before == stats["files_before"]
+
+    # manifest guard still holds after compaction
+    with pytest.raises(ValueError, match="already in the minhash manifest"):
+        dd.merge_minhash_increment(
+            spark, spark.read.parquet(*files["a"]), state, files=files["a"]
+        )
+
+    # the increment AFTER compaction still reproduces batch exactly
+    got = dd.merge_minhash_increment(
+        spark, spark.read.parquet(*files["c"]), state, files=files["c"]
+    )
+    batch = minhash_lsh_pairs(
+        doubled_docs, n_perm=64, n_bands=32, threshold=0.5
+    )
+    assert _pairs_rows(got) == _pairs_rows(batch)
+    release_dedup_caches()
+
+
+def test_ivf_store_twenty_increments_files_and_identity(spark, tmp_path):
+    """VERDICT r5 Next #7: a 10× increment count (20 small batches). File
+    count grows with txn count before compaction and collapses to one
+    file per cell after; search equals ivf_topk_pruned over a batch store
+    with the same pinned centroids at every stage."""
+    import glob
+
+    import numpy as np
+
+    import rasusa_spark.streaming.ann_inc as ann
+    from rasusa_spark.operators.similarity import (
+        ivf_topk_pruned,
+        write_ivf_partitioned,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, per_inc, n_inc, n_cells = 8, 200, 20, 8
+    state = str(tmp_path / "state")
+    inp = str(tmp_path / "emb")
+    all_rows = []
+    files = []
+    for k in range(n_inc):
+        vecs = rng.normal(size=(per_inc, dim))
+        rows = [
+            (k * per_inc + i, [float(x) for x in vecs[i]])
+            for i in range(per_inc)
+        ]
+        all_rows.extend(rows)
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(f"{inp}/{k}")
+        files.append(sorted(glob.glob(f"{inp}/{k}/*.parquet")))
+    for k in range(n_inc):
+        ann.merge_ivf_increment(
+            spark,
+            spark.read.parquet(*files[k]),
+            state,
+            files=files[k],
+            n_cells=n_cells,
+            sample=1024,
+            iters=4,
+            seed=3,
+        )
+
+    cells_glob = f"{state}/ivf_store/cells/txn=*/ivf_cell=*/*.parquet"
+    files_at_20 = len(glob.glob(cells_glob))
+    # 20 txns × (most of) 8 cells each — file count scales with txn count
+    assert files_at_20 >= n_inc * n_cells // 2
+
+    cents = ann.load_centroids(spark, state)
+    batch_loc = str(tmp_path / "batch")
+    corpus = spark.createDataFrame(
+        all_rows, "vec_id long, embedding array<double>"
+    )
+    write_ivf_partitioned(corpus, batch_loc, cents)
+
+    q = [float(x) for x in rng.normal(size=dim)]
+
+    def store_topk():
+        return [
+            (r.vec_id, round(r.cosine, 9))
+            for r in ann.ivf_store_topk(spark, state, q, k=7, nprobe=3).collect()
+        ]
+
+    want = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in ivf_topk_pruned(spark, batch_loc, q, cents, k=7, nprobe=3).collect()
+    ]
+    assert store_topk() == want
+
+    stats = ann.compact_ivf_cells(spark, state)
+    assert stats["folded_txns"] == n_inc
+    assert stats["files_after"] <= n_cells  # one file per cell
+    assert store_topk() == want
+    assert (
+        spark.read.parquet(f"{state}/ivf_store/cells").count()
+        == n_inc * per_inc
+    )
+
+
+def test_incremental_topn_merge_equals_batch(spark, raw4k, tmp_path):
+    """Top-N carrier O(delta) merge: ANY split of the input folds to the
+    batch carrier bit-for-bit (integer sums), and finalizing the stored
+    carrier equals topn_rollup over raw."""
+    from rasusa_spark.operators.timeseries import (
+        topn_finalize,
+        topn_partials,
+        topn_rollup,
+    )
+    from rasusa_spark.streaming.incremental import merge_topn_increment
+
+    state = str(tmp_path / "state")
+    # interleaved split is FINE here (unlike changes): sums are
+    # order-independent
+    first = raw4k.where(F.col("row_idx") % 2 == 0)
+    second = raw4k.where(F.col("row_idx") % 2 == 1)
+    merge_topn_increment(
+        spark, first, state, tier="1h", key_col="doc_id", files=["f0"]
+    )
+    merged = merge_topn_increment(
+        spark, second, state, tier="1h", key_col="doc_id",
+        allow_late=True, files=["f1"],
+    )
+    batch = topn_partials(raw4k, 3600, key_col="doc_id", series_cols=("source",))
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(merged.select(*batch.columns)) == key(batch)
+
+    got = topn_finalize(
+        merged, 2, key_col="doc_id", series_cols=("source",)
+    )
+    want = topn_rollup(
+        raw4k, 3600, 2, key_col="doc_id", series_cols=("source",)
+    )
+    assert key(got.select(*want.columns)) == key(want)

@@ -1244,3 +1244,33 @@ def test_changes_fold_refuses_interleaved_parts(spark):
     b = changes_partials(raw.where(F.col("row_idx") % 2 == 1), 86400)
     with pytest.raises(Exception, match="overlap"):
         changes_fold(a.unionByName(b), ["source"]).collect()
+
+
+def test_topn_carrier_cascade_bit_equal(spark):
+    """VERDICT r5 Next #8: topn_partials at 1h → topn_from_finer to 1d →
+    topn_finalize must bit-equal topn_rollup at 1d from raw, under any
+    layout."""
+    from rasusa_spark.operators.timeseries import (
+        topn_finalize,
+        topn_from_finer,
+        topn_partials,
+        topn_rollup,
+    )
+    from rasusa_spark.synth import tokens_raw_df
+
+    raw = tokens_raw_df(spark, 3000, with_tokens=False, partitions=3)
+    p1h = topn_partials(raw, 3600, key_col="doc_id", series_cols=("source",))
+    p1d = topn_from_finer(p1h, 86400, key_col="doc_id", series_cols=("source",))
+    got = topn_finalize(p1d, 3, key_col="doc_id", series_cols=("source",))
+    want = topn_rollup(raw, 86400, 3, key_col="doc_id", series_cols=("source",))
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(got) == key(want) and want.count() > 0
+    # layout invariance
+    p1h13 = topn_partials(
+        raw.repartition(13), 3600, key_col="doc_id", series_cols=("source",)
+    )
+    got13 = topn_finalize(
+        topn_from_finer(p1h13, 86400, key_col="doc_id", series_cols=("source",)),
+        3, key_col="doc_id", series_cols=("source",),
+    )
+    assert key(got13) == key(want)
