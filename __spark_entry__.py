@@ -672,6 +672,103 @@ def q_irate_rerolled_1d(spark, sf_dir):
     )
 
 
+def q_ohlc_1h(spark, sf_dir):
+    """OHLC/candlestick per (event_type, hour)
+    (operators/timeseries.py:ohlc_rollup — TimescaleDB-toolkit
+    candlestick_agg semantics): open/close at the (ts, event_id) order
+    endpoints, high/low/volume exact int64; ONE combinable min_by/max_by
+    groupBy, no window."""
+    from rasusa_spark.operators.timeseries import ohlc_rollup
+
+    ev = _events_cents(spark, sf_dir)
+    return ohlc_rollup(
+        ev, 3600, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    ).select(
+        "event_type", "bucket_start", "v_open", "v_high", "v_low",
+        "v_close", "volume", "n_samples",
+    )
+
+
+def q_ohlc_rerolled_1d(spark, sf_dir):
+    """OHLC tier cascade: 1h carriers re-rolled to 1d via ohlc_from_finer
+    (min_by/max_by over the carried (micros, id) order keys — raw
+    untouched), then the candlestick finalizer. The oracle computes the
+    1d OHLC DIRECTLY from raw events — equality proves the carrier
+    algebra cross-engine."""
+    from rasusa_spark.operators.timeseries import (
+        ohlc_finalize,
+        ohlc_from_finer,
+        ohlc_partials,
+    )
+
+    ev = _events_cents(spark, sf_dir)
+    p1h = ohlc_partials(
+        ev, 3600, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    )
+    p1d = ohlc_from_finer(p1h, 86400, series_cols=("event_type",))
+    return ohlc_finalize(p1d, ("event_type",)).select(
+        "event_type", "bucket_start", "v_open", "v_high", "v_low",
+        "v_close", "volume", "n_samples",
+    )
+
+
+def q_state_durations_1h(spark, sf_dir):
+    """TimescaleDB-toolkit state_agg/duration_in: per (user, hour, state)
+    microseconds spent in each state under the LOCF state timeline
+    (operators/timeseries.py:state_durations) — segments split exactly
+    across bucket boundaries, last sample contributes nothing,
+    integer-micros exact."""
+    from rasusa_spark.operators.timeseries import state_durations
+
+    ev = _load(spark, sf_dir, "events")
+    return state_durations(
+        ev, 3600, series_cols=("user_id",), state_col="event_type",
+        id_col="event_id",
+    ).select(
+        "user_id", "bucket_start", "event_type", "duration_us",
+        "n_segments",
+    )
+
+
+def q_predict_linear_1d(spark, sf_dir):
+    """PromQL predict_linear(): per-(event_type, day) least-squares
+    projection one hour past the bucket end
+    (operators/timeseries.py:predict_linear) — reuses the regression
+    tier's integer sufficient statistics; slope/intercept/prediction are
+    scalar double expressions mirrored operand-for-operand by the
+    oracle."""
+    from rasusa_spark.operators.timeseries import predict_linear
+
+    ev = _events_cents(spark, sf_dir)
+    return predict_linear(
+        ev, 86400, 3600, series_cols=("event_type",), value_col="n_tok"
+    ).select(
+        "event_type", "bucket_start", "n_samples", "slope_per_s",
+        "predicted",
+    )
+
+
+def q_prom_rate_1h(spark, sf_dir):
+    """The faithful PromQL rate()/increase() estimator with boundary
+    extrapolation (operators/timeseries.py:prom_rate — the public
+    Prometheus extrapolatedRate algorithm, promql/functions.go) per
+    (event_type, hour): exact int64 reset-aware increase plus the
+    extrapolated increase/rate doubles, null under the <2-samples
+    guard."""
+    from rasusa_spark.operators.timeseries import prom_rate
+
+    ev = _events_cents(spark, sf_dir)
+    return prom_rate(
+        ev, 3600, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    ).select(
+        "event_type", "bucket_start", "increase", "n_samples",
+        "increase_ext", "rate_per_s",
+    )
+
+
 def q_heavy_hitters_1d(spark, sf_dir):
     """Exact phi-heavy hitters per day (operators/timeseries.py:
     heavy_hitters): users with >= 1% of the day's events, plus count,
@@ -1331,6 +1428,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gauge_irate_1d": q_gauge_irate_1d,
         "changes_rerolled_1d": q_changes_rerolled_1d,
         "irate_rerolled_1d": q_irate_rerolled_1d,
+        "ohlc_1h": q_ohlc_1h,
+        "ohlc_rerolled_1d": q_ohlc_rerolled_1d,
+        "state_durations_1h": q_state_durations_1h,
+        "predict_linear_1d": q_predict_linear_1d,
+        "prom_rate_1h": q_prom_rate_1h,
         "topn_rerolled_1d": q_topn_rerolled_1d,
         "heavy_hitters_1d": q_heavy_hitters_1d,
         "hist_quantile_1d": q_hist_quantile_1d,
@@ -1413,6 +1515,25 @@ def _tb_sql(width_s: int) -> str:
         f"make_timestamp({_TB_ORIGIN_US} + "
         f"((epoch_us(ts) - {_TB_ORIGIN_US}) // {w_us}) * {w_us})"
     )
+
+
+def _ohlc_sql(width_s: int) -> str:
+    """OHLC per (event_type, bucket) directly from raw — open/close at
+    the (ts, event_id) order endpoints (the ohlc_1h direct query and the
+    ohlc_rerolled_1d cascade share this oracle shape at their widths)."""
+    return f"""
+WITH ev AS ({_EV_CENTS}),
+b AS (SELECT event_type, {_tb_sql(width_s)} AS bucket_start, ts, event_id,
+             CAST(n_tok AS BIGINT) AS v FROM ev)
+SELECT event_type, bucket_start,
+       CAST((list(v ORDER BY ts, event_id))[1] AS BIGINT) AS v_open,
+       CAST(max(v) AS BIGINT) AS v_high,
+       CAST(min(v) AS BIGINT) AS v_low,
+       CAST((list(v ORDER BY ts, event_id))[-1] AS BIGINT) AS v_close,
+       CAST(sum(v) AS BIGINT) AS volume,
+       count(*) AS n_samples
+FROM b GROUP BY 1, 2
+"""
 
 
 def _lttb_oracle_sql(n_out: int = 20) -> str:
@@ -2129,6 +2250,96 @@ FROM a
 """,
         "gauge_changes_1d": _GAUGE_CHANGES_1D_SQL,
         "gauge_irate_1d": _GAUGE_IRATE_1D_SQL,
+        "ohlc_1h": _ohlc_sql(3600),
+        "ohlc_rerolled_1d": _ohlc_sql(86400),
+        "state_durations_1h": f"""
+WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t0,
+                  lead(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS t1
+           FROM events),
+seg AS (SELECT * FROM s WHERE t1 > t0),
+p AS (SELECT user_id, event_type, t0, t1,
+             unnest(generate_series(
+                 {_TB_ORIGIN_US} + ((t0 - {_TB_ORIGIN_US}) // 3600000000)
+                     * 3600000000,
+                 {_TB_ORIGIN_US} + ((t1 - 1 - {_TB_ORIGIN_US}) // 3600000000)
+                     * 3600000000,
+                 3600000000)) AS b
+      FROM seg)
+SELECT user_id, make_timestamp(b) AS bucket_start, event_type,
+       CAST(sum(least(t1, b + 3600000000) - greatest(t0, b)) AS BIGINT)
+           AS duration_us,
+       count(*) AS n_segments
+FROM p GROUP BY 1, 2, 3
+""",
+        "predict_linear_1d": f"""
+WITH ev AS ({_EV_CENTS}),
+b AS (SELECT event_type, {_tb_sql(86400)} AS bucket_start, ts,
+             CAST(n_tok AS BIGINT) AS v FROM ev),
+t AS (SELECT event_type, bucket_start,
+             (epoch_us(ts) - epoch_us(bucket_start)) // 1000000 AS tt, v
+      FROM b),
+a AS (SELECT event_type, bucket_start, count(*) AS n_samples,
+             CAST(sum(tt) AS BIGINT) AS st, CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(tt*v) AS BIGINT) AS stv,
+             CAST(sum(tt*tt) AS BIGINT) AS stt
+      FROM t GROUP BY 1, 2),
+d AS (SELECT event_type, bucket_start, n_samples,
+             CAST(n_samples AS DOUBLE) AS nd, CAST(st AS DOUBLE) AS std,
+             CAST(sv AS DOUBLE) AS svd, CAST(stv AS DOUBLE) AS stvd,
+             CAST(stt AS DOUBLE) AS sttd
+      FROM a),
+s AS (SELECT *, CASE WHEN n_samples >= 2
+                          AND nd*sttd - std*std <> 0.0
+                     THEN (nd*stvd - std*svd) / (nd*sttd - std*std)
+                     ELSE NULL END AS slope
+      FROM d)
+SELECT event_type, bucket_start, n_samples, slope AS slope_per_s,
+       CASE WHEN slope IS NULL THEN NULL
+            ELSE (svd - slope*std)/nd + slope*90000.0 END AS predicted
+FROM s
+""",
+        "prom_rate_1h": f"""
+WITH ev AS ({_EV_CENTS}),
+b AS (SELECT event_type, {_tb_sql(3600)} AS bucket_start, ts, event_id,
+             CAST(n_tok AS BIGINT) AS v, epoch_us(ts) AS u FROM ev),
+l AS (SELECT *, lag(v) OVER (
+          PARTITION BY event_type, bucket_start ORDER BY ts, event_id
+      ) AS pv FROM b),
+a AS (SELECT event_type, bucket_start,
+             CAST(sum(CASE WHEN pv IS NULL THEN 0
+                           WHEN v < pv THEN v
+                           ELSE v - pv END) AS BIGINT) AS increase,
+             min(u) AS fu, max(u) AS lu,
+             (list(v ORDER BY u, event_id))[1] AS fv,
+             count(*) AS n_samples
+      FROM l GROUP BY 1, 2),
+g AS (SELECT *, epoch_us(bucket_start) AS bu,
+             CAST(increase AS DOUBLE) AS incd, CAST(fv AS DOUBLE) AS fvd
+      FROM a),
+h AS (SELECT *,
+             CAST(fu - bu AS DOUBLE)/1e6 AS ds0,
+             CAST(bu + 3600000000 - lu AS DOUBLE)/1e6 AS de0,
+             CAST(lu - fu AS DOUBLE)/1e6 AS sampled
+      FROM g),
+i AS (SELECT *, sampled/(CAST(n_samples AS DOUBLE) - 1.0) AS avgd,
+             CASE WHEN incd > 0.0 AND fvd >= 0.0
+                       AND sampled*(fvd/incd) < ds0
+                  THEN sampled*(fvd/incd) ELSE ds0 END AS ds1
+      FROM h),
+j AS (SELECT *,
+             CASE WHEN ds1 >= avgd*1.1 THEN avgd/2.0 ELSE ds1 END AS ds,
+             CASE WHEN de0 >= avgd*1.1 THEN avgd/2.0 ELSE de0 END AS de
+      FROM i)
+SELECT event_type, bucket_start, increase, n_samples,
+       CASE WHEN n_samples >= 2 AND lu > fu
+            THEN incd * ((sampled + ds + de) / sampled)
+            ELSE NULL END AS increase_ext,
+       CASE WHEN n_samples >= 2 AND lu > fu
+            THEN (incd * ((sampled + ds + de) / sampled)) / 3600.0
+            ELSE NULL END AS rate_per_s
+FROM j
+""",
         "heavy_hitters_1d": f"""
 WITH c AS (SELECT {_tb_sql(86400)} AS bucket_start, user_id,
                   count(*) AS key_count FROM events GROUP BY 1, 2),

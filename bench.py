@@ -62,6 +62,9 @@ HEADLINE = [
     "hist_quantile_1d",
     "topn_users_1d",
     "cohort_retention_filled",
+    "ohlc_rerolled_1d",
+    "state_durations_1h",
+    "prom_rate_1h",
 ]
 
 

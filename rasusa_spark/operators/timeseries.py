@@ -1666,3 +1666,439 @@ def gap_fill_bucketed(
     return out.withColumn(
         "gap_filled", F.col("n_tok_sum").isNull()
     ).na.fill(0, ["n_tok_sum", "row_count"])
+
+
+# ---------------------------------------------------------------------------
+# OHLC / candlestick tier (TimescaleDB toolkit candlestick_agg semantics)
+# ---------------------------------------------------------------------------
+
+
+def ohlc_partials(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """The OHLC/candlestick tier's mergeable STATE — the public
+    TimescaleDB-toolkit ``candlestick_agg`` semantics (open/high/low/
+    close/volume per bucket) re-expressed as one combinable groupBy.
+
+    Pinned contract (integer-exact, so the DuckDB oracle hash-matches):
+
+    - total order within (series, bucket): (``ts``, ``id_col``) — ties
+      broken by the unique id identically in both engines;
+    - open/close = value at that order's endpoints, carried WITH their
+      (micros, id) order keys so the carrier re-rolls (``min_by``/
+      ``max_by`` over the composite key is exactly associative given the
+      total order — the same argument as the gauge_delta/M4 tiers);
+    - high/low = max/min value; volume = Σ value (int64, exact).
+
+    Scale shape: ONE map-side-combinable groupBy — no window, no sort
+    over raw beyond the in-partition SortAggregate the struct-typed
+    min_by buffer costs (see gauge_delta's plan note)."""
+    v = F.col(value_col).cast("long")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    okey = F.struct(us.alias("u"), F.col(id_col).alias("i"))
+    b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    return (
+        df.groupBy(*series_cols, b.alias("bucket_start"))
+        .agg(
+            F.min_by(
+                F.struct(
+                    us.alias("u"),
+                    F.col(id_col).alias("i"),
+                    v.alias("v"),
+                ),
+                okey,
+            ).alias("_open"),
+            F.max_by(
+                F.struct(
+                    us.alias("u"),
+                    F.col(id_col).alias("i"),
+                    v.alias("v"),
+                ),
+                okey,
+            ).alias("_close"),
+            F.max(v).alias("v_high"),
+            F.min(v).alias("v_low"),
+            F.sum(v).alias("volume"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            *series_cols,
+            "bucket_start",
+            F.col("_open.u").alias("open_us"),
+            F.col("_open.i").alias("open_id"),
+            F.col("_open.v").alias("v_open"),
+            F.col("_close.u").alias("close_us"),
+            F.col("_close.i").alias("close_id"),
+            F.col("_close.v").alias("v_close"),
+            "v_high",
+            "v_low",
+            "volume",
+            "n_samples",
+        )
+    )
+
+
+def ohlc_from_finer(
+    partials: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """Re-roll the OHLC carrier from a finer tier to ``width_s`` buckets
+    WITHOUT touching raw: open = the open of the earliest fine bucket by
+    (open_us, open_id) — the global earliest sample, because fine buckets
+    partition the coarse bucket's time range; close symmetric; high/low/
+    volume/n fold by max/min/sum. Output schema == ``ohlc_partials`` at
+    ``width_s`` and the values are bit-identical to building the coarse
+    tier from raw (pinned by test + the ohlc_rerolled_1d full oracle)."""
+    b = time_bucket_expr(width_s, "bucket_start", origin_s=origin_s)
+    return (
+        partials.withColumn("bucket_start", b)
+        .groupBy(*series_cols, "bucket_start")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("open_us").alias("u"),
+                    F.col("open_id").alias("i"),
+                    F.col("v_open").alias("v"),
+                ),
+                F.struct(F.col("open_us"), F.col("open_id")),
+            ).alias("_open"),
+            F.max_by(
+                F.struct(
+                    F.col("close_us").alias("u"),
+                    F.col("close_id").alias("i"),
+                    F.col("v_close").alias("v"),
+                ),
+                F.struct(F.col("close_us"), F.col("close_id")),
+            ).alias("_close"),
+            F.max("v_high").alias("v_high"),
+            F.min("v_low").alias("v_low"),
+            F.sum("volume").alias("volume"),
+            F.sum("n_samples").alias("n_samples"),
+        )
+        .select(
+            *series_cols,
+            "bucket_start",
+            F.col("_open.u").alias("open_us"),
+            F.col("_open.i").alias("open_id"),
+            F.col("_open.v").alias("v_open"),
+            F.col("_close.u").alias("close_us"),
+            F.col("_close.i").alias("close_id"),
+            F.col("_close.v").alias("v_close"),
+            "v_high",
+            "v_low",
+            "volume",
+            "n_samples",
+        )
+    )
+
+
+def ohlc_finalize(
+    partials: DataFrame,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+) -> DataFrame:
+    """Candlestick-shaped output from an OHLC carrier table."""
+    return partials.select(
+        *series_cols,
+        "bucket_start",
+        "v_open",
+        "v_high",
+        "v_low",
+        "v_close",
+        "volume",
+        "n_samples",
+    )
+
+
+def ohlc_rollup(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """OHLC/candlestick per (series, bucket) directly from raw — see
+    ``ohlc_partials`` for the pinned contract and scale shape."""
+    return ohlc_finalize(
+        ohlc_partials(
+            df,
+            width_s,
+            series_cols=series_cols,
+            ts_col=ts_col,
+            value_col=value_col,
+            id_col=id_col,
+            origin_s=origin_s,
+        ),
+        series_cols,
+    )
+
+
+# ---------------------------------------------------------------------------
+# state_agg / duration_in (TimescaleDB toolkit state-timeline semantics)
+# ---------------------------------------------------------------------------
+
+
+def state_durations(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """Time spent in each state per (series, bucket) — the public
+    TimescaleDB-toolkit ``state_agg``/``duration_in`` semantics: a sample
+    declares the series' state from its timestamp until the NEXT sample's
+    timestamp (LOCF state timeline), and the per-bucket answer is how
+    many microseconds of the bucket the series spent in each state.
+
+    Pinned contract (integer-micros exact, so the DuckDB oracle
+    hash-matches):
+
+    - state timeline order within a series: (``ts``, ``id_col``);
+    - each sample opens a segment [t_k, t_{k+1}) carrying its state; the
+      series' LAST sample contributes nothing (no extrapolation past the
+      last observation — the same no-extrapolation posture as
+      counter_increase), and zero-length segments (timestamp ties) are
+      dropped;
+    - a segment's duration is split exactly across every time bucket it
+      overlaps: contribution to bucket b = |[t_k, t_{k+1}) ∩ [b, b+w)|
+      in whole microseconds;
+    - ``n_segments`` counts the (segment × bucket) pieces aggregated
+      into each output row.
+
+    Scale shape: ONE window shuffle on the series key (lead() for the
+    segment end), then a bucket-grid explode whose factor is the number
+    of buckets a segment spans (bounded by segment length / width — for
+    telemetry where samples arrive faster than the bucket width the
+    factor is ~1), then one combinable groupBy. No join, no spine table
+    against raw."""
+    if width_s <= 0:
+        raise ValueError(f"width_s must be positive, got {width_s}")
+    o_us = origin_s * 1_000_000
+    w_us = width_s * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    wd = Window.partitionBy(*series_cols).orderBy(ts_col, id_col)
+    seg = (
+        df.select(
+            *series_cols,
+            F.col(state_col).alias("_state"),
+            us.alias("_t0"),
+            F.col(ts_col),
+            F.col(id_col),
+        )
+        .withColumn("_t1", F.lead("_t0").over(wd))
+        .where(F.col("_t1") > F.col("_t0"))
+        .drop(ts_col, id_col)
+    )
+    b0 = F.expr(f"{o_us}L + ((_t0 - {o_us}L) div {w_us}L) * {w_us}L")
+    bl = F.expr(f"{o_us}L + ((_t1 - 1 - {o_us}L) div {w_us}L) * {w_us}L")
+    pieces = seg.withColumn(
+        "_b", F.explode(F.sequence(b0, bl, F.lit(w_us).cast("long")))
+    )
+    dur = F.least(F.col("_t1"), F.col("_b") + F.lit(w_us)) - F.greatest(
+        F.col("_t0"), F.col("_b")
+    )
+    return (
+        pieces.groupBy(
+            *series_cols,
+            F.expr("cast(timestamp_micros(_b) as timestamp_ntz)").alias(
+                "bucket_start"
+            ),
+            F.col("_state").alias(state_col),
+        )
+        .agg(
+            F.sum(dur).alias("duration_us"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# predict_linear and extrapolated rate (the remaining PromQL estimators)
+# ---------------------------------------------------------------------------
+
+
+def predict_linear(
+    df: DataFrame,
+    width_s: int,
+    horizon_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """PromQL ``predict_linear(v[range], t)`` per (series, bucket): the
+    least-squares projection of the metric ``horizon_s`` seconds past the
+    bucket END (range end == bucket end, the natural tiled-range read).
+
+    Pinned contract: reuses the regression tier's five integer sufficient
+    statistics (``deriv_partials`` — t = whole seconds since bucket
+    start); slope is ``gauge_deriv``'s expression; intercept =
+    (Σv − slope·Σt)/n; predicted = intercept + slope·(width + horizon).
+    Every double operation is mirrored operand-for-operand by the DuckDB
+    oracle, so the hash matches bit-for-bit. Null when the slope is
+    undefined (fewer than 2 samples, or zero time variance).
+
+    Scale shape: identical to ``gauge_deriv`` — ONE combinable groupBy,
+    scalar finalizer; cascades through ``deriv_from_finer`` unchanged."""
+    p = deriv_partials(
+        df,
+        width_s,
+        series_cols=series_cols,
+        ts_col=ts_col,
+        value_col=value_col,
+        origin_s=origin_s,
+    )
+    return predict_finalize(
+        p, width_s, horizon_s, series_cols=series_cols
+    )
+
+
+def predict_finalize(
+    partials: DataFrame,
+    width_s: int,
+    horizon_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+) -> DataFrame:
+    """Shared predict_linear finalizer over a deriv carrier table (direct
+    or cascaded) — the one scalar double expression the oracle mirrors."""
+    n = F.col("n_samples").cast("double")
+    st = F.col("_st").cast("double")
+    sv = F.col("_sv").cast("double")
+    stv = F.col("_stv").cast("double")
+    stt = F.col("_stt").cast("double")
+    den = n * stt - st * st
+    defined = (F.col("n_samples") >= 2) & (den != F.lit(0.0))
+    slope = (n * stv - st * sv) / den
+    intercept = (sv - slope * st) / n
+    t_target = F.lit(float(width_s + horizon_s))
+    return partials.select(
+        *series_cols,
+        "bucket_start",
+        "n_samples",
+        F.when(defined, slope).alias("slope_per_s"),
+        F.when(defined, intercept + slope * t_target).alias("predicted"),
+    )
+
+
+def prom_rate(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    counter: bool = True,
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """The faithful PromQL ``rate()``/``increase()`` ESTIMATOR per
+    (series, bucket) — boundary extrapolation included (the public
+    Prometheus algorithm, promql/functions.go ``extrapolatedRate``),
+    complementing ``counter_increase``'s exact no-extrapolation variant.
+
+    Pinned contract:
+
+    - range = the bucket [b, b+w); samples ordered (``ts``, ``id_col``);
+    - raw increase = Σ per-pair contributions inside the bucket
+      (counter mode: a decrease means reset, the new value counts whole;
+      gauge mode: plain last−first), int64-exact;
+    - extrapolation in IEEE doubles, operand order mirrored by the
+      oracle: durations to the bucket edges are extrapolated in full
+      when the edge is closer than 1.1× the average sample spacing,
+      else by half the average spacing; counter mode additionally caps
+      the start-side extrapolation at the implied zero crossing
+      (sampledInterval · firstV / increase);
+    - null unless the bucket has ≥ 2 samples spanning > 0 time (the
+      PromQL guard).
+
+    Scale shape: one window over (series, bucket) — partition size = one
+    bucket of one series — feeding ONE combinable groupBy; the finalizer
+    is scalar arithmetic on the aggregate row."""
+    v = F.col(value_col).cast("long")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    staged = df.withColumn("_bkt", b).withColumn("_us", us).withColumn("_v", v)
+    wd = Window.partitionBy(*series_cols, "_bkt").orderBy(ts_col, id_col)
+    prev = F.lag("_v").over(wd)
+    if counter:
+        contrib = (
+            F.when(prev.isNull(), F.lit(0))
+            .when(F.col("_v") < prev, F.col("_v"))
+            .otherwise(F.col("_v") - prev)
+        )
+    else:
+        contrib = F.when(prev.isNull(), F.lit(0)).otherwise(
+            F.col("_v") - prev
+        )
+    okey = F.struct(F.col("_us").alias("u"), F.col(id_col).alias("i"))
+    agg = (
+        staged.withColumn("_inc", contrib)
+        .groupBy(*series_cols, F.col("_bkt").alias("bucket_start"))
+        .agg(
+            F.sum("_inc").alias("increase"),
+            F.min("_us").alias("_first_u"),
+            F.max("_us").alias("_last_u"),
+            F.min_by("_v", okey).alias("_first_v"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    w_us = width_s * 1_000_000
+    bucket_us = F.unix_micros(F.col("bucket_start").cast("timestamp"))
+    # doubles, in seconds — operand order pinned against the oracle
+    dur_start = (F.col("_first_u") - bucket_us).cast("double") / F.lit(1e6)
+    dur_end = (
+        (bucket_us + F.lit(w_us) - F.col("_last_u")).cast("double")
+        / F.lit(1e6)
+    )
+    sampled = (
+        (F.col("_last_u") - F.col("_first_u")).cast("double") / F.lit(1e6)
+    )
+    avg_dur = sampled / (F.col("n_samples").cast("double") - F.lit(1.0))
+    inc_d = F.col("increase").cast("double")
+    first_v_d = F.col("_first_v").cast("double")
+    if counter:
+        dur_zero = sampled * (first_v_d / inc_d)
+        dur_start = F.when(
+            (inc_d > F.lit(0.0))
+            & (first_v_d >= F.lit(0.0))
+            & (dur_zero < dur_start),
+            dur_zero,
+        ).otherwise(dur_start)
+    threshold = avg_dur * F.lit(1.1)
+    dur_start = F.when(dur_start >= threshold, avg_dur / F.lit(2.0)).otherwise(
+        dur_start
+    )
+    dur_end = F.when(dur_end >= threshold, avg_dur / F.lit(2.0)).otherwise(
+        dur_end
+    )
+    factor = (sampled + dur_start + dur_end) / sampled
+    defined = (F.col("n_samples") >= 2) & (
+        F.col("_last_u") > F.col("_first_u")
+    )
+    ext = inc_d * factor
+    return agg.select(
+        *series_cols,
+        "bucket_start",
+        "increase",
+        "n_samples",
+        F.when(defined, ext).alias("increase_ext"),
+        F.when(defined, ext / F.lit(float(width_s))).alias("rate_per_s"),
+    )

@@ -822,3 +822,44 @@ def merge_cms_increment(
         spark, inc, state_path, f"cms_{tier}", group_cols, remerge,
         allow_late, txn_files=files
     )
+
+
+def merge_ohlc_increment(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    state_path: str,
+    tier: str = "1h",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    allow_late: bool = False,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """O(delta) incremental maintenance of the OHLC/candlestick tier
+    (operators/timeseries.py:ohlc_partials): state is (open, close, high,
+    low, volume, n) per (group, bucket) with open/close carried alongside
+    their (micros, id) order keys; the merge is ``ohlc_from_finer`` at the
+    SAME width (re-bucketing an on-grid bucket_start is the identity, so
+    the fold is exactly the carrier's min_by/max_by/sum algebra) — batch ≡
+    incremental bit-for-bit under ANY input split, because the (ts, id)
+    order key is total. Same watermark + partition-pruned rewrite +
+    roll-forward transaction machinery as the other carriers."""
+    from ..operators.timeseries import ohlc_from_finer, ohlc_partials
+
+    group_cols = list(group_cols)
+    w = _TIER_SECONDS[tier]
+    inc = ohlc_partials(
+        new_rows,
+        w,
+        series_cols=group_cols,
+        value_col=value_col,
+        id_col=id_col,
+    )
+
+    def remerge(union: DataFrame) -> DataFrame:
+        return ohlc_from_finer(union, w, series_cols=group_cols)
+
+    return _merge_increment(
+        spark, inc, state_path, f"ohlc_{tier}", group_cols, remerge,
+        allow_late, txn_files=files
+    )

@@ -64,6 +64,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names to check (iteration aid; the "
+        "committed artifact must be a FULL run)",
+    )
     args = ap.parse_args()
     out_path = args.out or os.path.join(
         REPO, f"CORRECTNESS_full_r{args.round:02d}.json"
@@ -83,6 +89,12 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.only:
+        keep = {n.strip() for n in args.only.split(",")}
+        unknown = keep - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
+        queries = {n: f for n, f in queries.items() if n in keep}
     results: dict[str, dict] = {}
     n_fail = 0
     t0 = time.time()

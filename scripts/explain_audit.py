@@ -335,6 +335,41 @@ def main() -> None:
          "phi filter joins two aggregate tables)",
          grab(heavy_hitters(sel, 3600, 0.01, key_col="source")))
     )
+    from rasusa_spark.operators.timeseries import (
+        ohlc_rollup,
+        predict_linear,
+        prom_rate,
+        state_durations,
+    )
+
+    sections.append(
+        ("OHLC/candlestick (ONE combinable min_by/max_by groupBy carrying "
+         "the (micros, id) order keys — same shape as gauge delta)",
+         grab(ohlc_rollup(sel, 3600, series_cols=("source",),
+                          value_col="n_tok", id_col="doc_id")))
+    )
+    sections.append(
+        ("state durations (one series-keyed window for lead(), bounded "
+         "bucket-grid explode, ONE combinable groupBy — no spine join "
+         "against raw)",
+         grab(state_durations(
+             sel.withColumn("state", (F.col("n_tok") % 3).cast("string")),
+             3600, series_cols=("source",), state_col="state",
+             id_col="doc_id")))
+    )
+    sections.append(
+        ("predict_linear (the deriv carrier's combinable groupBy + scalar "
+         "double finalizer — no extra exchange over gauge_deriv)",
+         grab(predict_linear(sel, 3600, 900, series_cols=("source",),
+                             value_col="n_tok")))
+    )
+    sections.append(
+        ("PromQL extrapolated rate (window partitioned by (series, "
+         "bucket) — partition size is one bucket of one series — then "
+         "ONE combinable groupBy + scalar finalizer)",
+         grab(prom_rate(sel, 3600, series_cols=("source",),
+                        value_col="n_tok", id_col="doc_id")))
+    )
     from rasusa_spark.operators.cohort import cohort_retention_filled
 
     sections.append(

@@ -147,7 +147,10 @@ def run_phases(cpus: int) -> dict:
     per-leg 2→8 scaling can be compared — (a) int-column parquet scan,
     (b) string-column parquet scan (doc_id decode, the suspected
     memory-bus-bound leg), (c) the hash+threshold selection arithmetic
-    over int ids (pure CPU on scanned ints). Best-of-REPEATS each."""
+    over int ids (pure CPU on scanned ints), (d) a generated-range
+    xxhash64 fold with NO parquet scan at all — the pure-CPU control
+    inside the same JVM/codegen machinery, isolating scan/decode from
+    compute. Best-of-REPEATS each."""
     from pyspark.sql import functions as F
 
     from rasusa_spark.session import get_spark
@@ -197,16 +200,32 @@ def run_phases(cpus: int) -> dict:
             ).alias("w"),
         )
 
+    def range_cpu():
+        # no parquet anywhere: generated rows, same hash arithmetic —
+        # the pure-CPU ceiling of this JVM at this core count
+        return (
+            spark.range(0, N_ROWS, 1, SHUFFLE_PARTS * 4)
+            .select(
+                F.sum(
+                    F.shiftrightunsigned(
+                        F.xxhash64(F.lit(42), "id"), 33
+                    )
+                ).alias("k")
+            )
+        )
+
     # warm codegen paths
     int_scan().write.format("noop").mode("overwrite").save()
     string_scan().write.format("noop").mode("overwrite").save()
     hash_select().write.format("noop").mode("overwrite").save()
+    range_cpu().write.format("noop").mode("overwrite").save()
 
     out = {
         "cpus": cpus,
         "int_scan_sec": round(timed(int_scan), 3),
         "string_scan_sec": round(timed(string_scan), 3),
         "hash_select_sec": round(timed(hash_select), 3),
+        "range_cpu_sec": round(timed(range_cpu), 3),
     }
     spark.stop()
     return out
@@ -250,7 +269,12 @@ def main() -> None:
             k.removesuffix("_sec"): round(
                 (lo[k] / hi[k]) / factor, 3
             )
-            for k in ("int_scan_sec", "string_scan_sec", "hash_select_sec")
+            for k in (
+                "int_scan_sec",
+                "string_scan_sec",
+                "hash_select_sec",
+                "range_cpu_sec",
+            )
         }
         summary = {"legs": legs, "per_leg_efficiency": eff}
         print(json.dumps(summary))

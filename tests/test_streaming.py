@@ -1721,3 +1721,30 @@ def test_incremental_topn_merge_equals_batch(spark, raw4k, tmp_path):
         raw4k, 3600, 2, key_col="doc_id", series_cols=("source",)
     )
     assert key(got.select(*want.columns)) == key(want)
+
+
+def test_incremental_ohlc_merge_equals_batch(spark, raw4k, tmp_path):
+    """OHLC carrier O(delta) merge: ANY split of the input folds to the
+    batch carrier bit-for-bit (the (ts, id) order key is total, so
+    min_by/max_by compose across interleaved parts), and finalizing the
+    stored carrier equals ohlc_rollup over raw."""
+    from rasusa_spark.operators.timeseries import (
+        ohlc_finalize,
+        ohlc_partials,
+        ohlc_rollup,
+    )
+    from rasusa_spark.streaming.incremental import merge_ohlc_increment
+
+    state = str(tmp_path / "state")
+    first = raw4k.where(F.col("row_idx") % 2 == 0)
+    second = raw4k.where(F.col("row_idx") % 2 == 1)
+    merge_ohlc_increment(spark, first, state, tier="1h", files=["f0"])
+    merged = merge_ohlc_increment(
+        spark, second, state, tier="1h", allow_late=True, files=["f1"]
+    )
+    batch = ohlc_partials(raw4k, 3600)
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(merged.select(*batch.columns)) == key(batch)
+    got = ohlc_finalize(merged.select(*batch.columns))
+    want = ohlc_rollup(raw4k, 3600)
+    assert key(got.select(*want.columns)) == key(want)

@@ -1274,3 +1274,259 @@ def test_topn_carrier_cascade_bit_equal(spark):
         3, key_col="doc_id", series_cols=("source",),
     )
     assert key(got13) == key(want)
+
+
+# --- OHLC / candlestick tier -----------------------------------------------
+
+
+def test_ohlc_manual_semantics(spark):
+    """Open/close follow the (ts, id) total order (ties broken by id),
+    high/low/volume are plain extremes/sums."""
+    from rasusa_spark.operators.timeseries import ohlc_rollup
+
+    rows = [
+        ("a", "id2", dt.datetime(2026, 1, 1, 0, 5), 7),
+        ("a", "id1", dt.datetime(2026, 1, 1, 0, 5), 3),   # tie -> id1 first
+        ("a", "id9", dt.datetime(2026, 1, 1, 0, 40), 1),
+        ("b", "id3", dt.datetime(2026, 1, 1, 0, 30), 5),  # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, ts timestamp, n_tok int"
+    )
+    out = {
+        r.source: r
+        for r in ohlc_rollup(df, 3600, series_cols=("source",)).collect()
+    }
+    a = out["a"]
+    assert (a.v_open, a.v_high, a.v_low, a.v_close) == (3, 7, 1, 1)
+    assert (a.volume, a.n_samples) == (11, 3)
+    b = out["b"]
+    assert (b.v_open, b.v_high, b.v_low, b.v_close) == (5, 5, 5, 5)
+
+
+def test_ohlc_carrier_cascade_bit_equal(spark):
+    """ohlc_partials at 1h → ohlc_from_finer to 1d must bit-equal
+    ohlc_partials at 1d from raw, under any layout; finalize(direct) ==
+    ohlc_rollup."""
+    from rasusa_spark.operators.timeseries import (
+        ohlc_finalize,
+        ohlc_from_finer,
+        ohlc_partials,
+        ohlc_rollup,
+    )
+    from rasusa_spark.synth import tokens_raw_df
+
+    raw = tokens_raw_df(spark, 3000, with_tokens=False, partitions=3)
+    fine = ohlc_partials(raw, 3600)
+    cascaded = ohlc_from_finer(fine, 86400)
+    direct = ohlc_partials(raw, 86400)
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(cascaded.select(*direct.columns)) == key(direct)
+    assert direct.count() > 0
+    assert key(ohlc_finalize(cascaded)) == key(ohlc_rollup(raw, 86400))
+    # layout invariance
+    fine13 = ohlc_partials(raw.repartition(13), 3600)
+    assert key(ohlc_from_finer(fine13, 86400).select(*direct.columns)) == key(
+        direct
+    )
+
+
+# --- state_agg / duration_in -----------------------------------------------
+
+
+def test_state_durations_manual(spark):
+    """LOCF segments, cross-bucket split, last-sample no-extrapolation,
+    zero-length (tied) segments dropped."""
+    from rasusa_spark.operators.timeseries import state_durations
+
+    h = lambda m: dt.datetime(2026, 1, 1, 0, 0) + dt.timedelta(minutes=m)
+    rows = [
+        ("a", 1, h(10), "S1"),
+        ("a", 2, h(50), "S2"),
+        ("a", 3, h(90), "S1"),
+        ("a", 4, h(120), "S3"),  # last sample: contributes nothing
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, event_id long, ts timestamp, state string"
+    )
+    out = state_durations(
+        df, 3600, series_cols=("source",), state_col="state",
+        id_col="event_id",
+    )
+    got = {
+        (r.bucket_start.hour, r.state): (r.duration_us, r.n_segments)
+        for r in out.collect()
+    }
+    m = 60 * 1_000_000
+    assert got == {
+        (0, "S1"): (40 * m, 1),
+        (0, "S2"): (10 * m, 1),
+        (1, "S2"): (30 * m, 1),
+        (1, "S1"): (30 * m, 1),
+    }
+    # total time in states == observed span
+    total = sum(v[0] for v in got.values())
+    assert total == 110 * m
+
+
+def test_state_durations_conservation_and_invariance(spark):
+    """Σ duration per series == (last ts − first ts); result is layout-
+    invariant (keys are data, not partitioning)."""
+    from rasusa_spark.operators.timeseries import state_durations
+    from rasusa_spark.synth import tokens_raw_df
+
+    raw = tokens_raw_df(spark, 2000, with_tokens=False, partitions=3)
+    raw = raw.withColumn("state", (F.col("n_tok") % 3).cast("string"))
+    out = state_durations(
+        raw, 3600, series_cols=("source",), state_col="state",
+        id_col="doc_id",
+    )
+    per_series = {
+        r.source: r.total
+        for r in out.groupBy("source")
+        .agg(F.sum("duration_us").alias("total"))
+        .collect()
+    }
+    spans = {
+        r.source: r.span
+        for r in raw.groupBy("source")
+        .agg(
+            (
+                F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+                - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+            ).alias("span")
+        )
+        .collect()
+    }
+    assert per_series == spans and len(per_series) > 0
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    out13 = state_durations(
+        raw.repartition(13), 3600, series_cols=("source",),
+        state_col="state", id_col="doc_id",
+    )
+    assert key(out13) == key(out)
+
+
+# --- predict_linear / prom_rate --------------------------------------------
+
+
+def test_predict_linear_matches_numpy(spark):
+    """Slope/intercept from the integer sufficient statistics must match
+    numpy's least squares on the same (whole-second t, value) points."""
+    from rasusa_spark.operators.timeseries import predict_linear
+    from rasusa_spark.synth import tokens_raw_df
+
+    raw = tokens_raw_df(spark, 1500, with_tokens=False, partitions=2)
+    out = predict_linear(raw, 86400, 3600, series_cols=("source",))
+    rows = raw.select(
+        "source",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("n_tok").cast("long").alias("v"),
+    ).collect()
+    import collections
+
+    pts = collections.defaultdict(list)
+    day_us = 86400 * 1_000_000
+    origin_us = 946_857_600 * 1_000_000
+    for r in rows:
+        b = origin_us + ((r.us - origin_us) // day_us) * day_us
+        pts[(r.source, b)].append(((r.us - b) // 1_000_000, r.v))
+    checked = 0
+    for r in out.collect():
+        b_us = int(r.bucket_start.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+        tv = pts[(r.source, b_us)]
+        assert r.n_samples == len(tv)
+        t = np.array([p[0] for p in tv], dtype=np.float64)
+        v = np.array([p[1] for p in tv], dtype=np.float64)
+        if len(tv) >= 2 and np.ptp(t) > 0:
+            slope, intercept = np.polyfit(t, v, 1)
+            assert r.slope_per_s == pytest.approx(slope, rel=1e-9)
+            assert r.predicted == pytest.approx(
+                intercept + slope * (86400 + 3600), rel=1e-9
+            )
+            checked += 1
+        else:
+            assert r.slope_per_s is None and r.predicted is None
+    assert checked > 0
+
+
+def _prom_rate_mirror(samples, bucket_us, width_s, counter=True):
+    """Python mirror of the PromQL extrapolatedRate algorithm
+    (promql/functions.go, public) with the engine's pinned operand order."""
+    samples = sorted(samples)
+    n = len(samples)
+    if counter:
+        inc = 0
+        for k in range(1, n):
+            prev, cur = samples[k - 1][2], samples[k][2]
+            inc += cur if cur < prev else cur - prev
+    else:
+        inc = samples[-1][2] - samples[0][2] if n else 0
+    if n < 2 or samples[-1][0] <= samples[0][0]:
+        return inc, None, None
+    w_us = width_s * 1_000_000
+    dur_start = (samples[0][0] - bucket_us) / 1e6
+    dur_end = (bucket_us + w_us - samples[-1][0]) / 1e6
+    sampled = (samples[-1][0] - samples[0][0]) / 1e6
+    avg = sampled / (n - 1.0)
+    inc_d = float(inc)
+    first_v = float(samples[0][2])
+    if counter and inc_d > 0.0 and first_v >= 0.0:
+        dur_zero = sampled * (first_v / inc_d)
+        if dur_zero < dur_start:
+            dur_start = dur_zero
+    thr = avg * 1.1
+    if dur_start >= thr:
+        dur_start = avg / 2.0
+    if dur_end >= thr:
+        dur_end = avg / 2.0
+    ext = inc_d * ((sampled + dur_start + dur_end) / sampled)
+    return inc, ext, ext / float(width_s)
+
+
+def test_prom_rate_extrapolation_semantics(spark):
+    """Hand-pinned cases: full boundary extrapolation when samples reach
+    near the edges, half-average when they don't, the counter zero-cap,
+    reset folding, and the <2-samples null guard."""
+    from rasusa_spark.operators.timeseries import prom_rate
+
+    h = dt.datetime(2026, 1, 1, 0, 0)
+    mk = lambda mn, sec=0: h + dt.timedelta(minutes=mn, seconds=sec)
+    rows = [
+        # series a: spread samples + a reset
+        ("a", 1, mk(10), 10), ("a", 2, mk(20), 20), ("a", 3, mk(50), 5),
+        # series b: clustered mid-bucket -> both edges get avg/2
+        ("b", 1, mk(28), 40), ("b", 2, mk(30), 44),
+        # series c: tiny first value -> zero-cap on the start side
+        ("c", 1, mk(2), 1), ("c", 2, mk(58), 100),
+        # series d: singleton -> null
+        ("d", 1, mk(30), 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, event_id long, ts timestamp, n_tok int"
+    )
+    out = {
+        r.source: r
+        for r in prom_rate(
+            df, 3600, series_cols=("source",), id_col="event_id"
+        ).collect()
+    }
+    bucket_us = int(h.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    us = lambda t: int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    by_series = {}
+    for s, i, t, v in rows:
+        by_series.setdefault(s, []).append((us(t), i, v))
+    for s in ("a", "b", "c"):
+        inc, ext, rate = _prom_rate_mirror(by_series[s], bucket_us, 3600)
+        r = out[s]
+        assert r.increase == inc
+        assert r.increase_ext == pytest.approx(ext, rel=1e-12)
+        assert r.rate_per_s == pytest.approx(rate, rel=1e-12)
+    # a: reset folded (10 + 5), factor 1.5 exactly
+    assert out["a"].increase == 15
+    assert out["a"].increase_ext == pytest.approx(22.5, rel=1e-12)
+    # b: both edges clamped to avg/2 -> factor exactly 2
+    assert out["b"].increase_ext == pytest.approx(8.0, rel=1e-12)
+    # d: singleton
+    assert out["d"].increase == 0
+    assert out["d"].increase_ext is None and out["d"].rate_per_s is None
