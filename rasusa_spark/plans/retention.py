@@ -272,6 +272,7 @@ def apply_sketch_tier_retention(
     coarse: str = "1d",
     run_id: str = "tier-retention",
     force: bool = False,
+    key_col: str = "user_id",
 ) -> DataFrame:
     """Tier-cascade retention for the SKETCH carriers — the same
     covered-drop contract as :func:`apply_tier_retention`, specialized per
@@ -291,13 +292,23 @@ def apply_sketch_tier_retention(
       statistic (n, Σt, Σv, Σtv, Σt²) — coverage means the coarse store
       holds the bit-identical sufficient statistics, so the coarse slope
       is exactly what the dropped fine tier would have produced.
+    - ``kind='ohlc'`` (r6): re-roll via ohlc_from_finer (min_by/max_by on
+      the carried (micros, id) order keys) and anti-join on the FULL
+      candlestick carrier including the order keys.
+    - ``kind='topn'`` (r6): re-roll via topn_from_finer (integer sums per
+      (group, bucket, ``key_col``)) and anti-join per key.
+    - ``kind='changes'`` (r6): re-roll via changes_from_finer's boundary
+      algebra and NULL-SAFE anti-join on the full carrier (singleton
+      buckets carry null runner-up samples — plain equality would refuse
+      spuriously).
 
     The cutoff must sit on a coarse-bucket boundary; refusal deletes
     nothing; whole ``bucket_part`` day partitions drop via the Hadoop FS;
     drops append to ``{state}/tier_retention``."""
-    if kind not in ("distinct", "cms", "deriv"):
+    if kind not in ("distinct", "cms", "deriv", "ohlc", "topn", "changes"):
         raise ValueError(
-            f"kind must be 'distinct', 'cms' or 'deriv', got {kind!r}"
+            "kind must be one of 'distinct', 'cms', 'deriv', 'ohlc', "
+            f"'topn', 'changes', got {kind!r}"
         )
     if fine not in TIERS or coarse not in TIERS:
         raise ValueError(f"unknown tier in ({fine!r}, {coarse!r})")
@@ -313,7 +324,9 @@ def apply_sketch_tier_retention(
         size_expr = F.sum(F.size("id_set")).alias("n_dropped")
     elif kind == "cms":
         size_expr = F.sum("cnt").alias("n_dropped")
-    else:
+    elif kind == "topn":
+        size_expr = F.sum("n_rows").alias("n_dropped")
+    else:  # deriv / ohlc / changes all carry n_samples
         size_expr = F.sum("n_samples").alias("n_dropped")
     parts = (
         doomed.groupBy("bucket_part")
@@ -345,7 +358,7 @@ def apply_sketch_tier_retention(
             ).agg(F.sum("cnt").alias("cnt"))
             join_cols = ["source", "bucket_start", "r", "idx", "d", "w", "cnt"]
             stored_cmp = stored.select(*join_cols)
-        else:
+        elif kind == "deriv":
             from ..operators.timeseries import deriv_from_finer
 
             width_s = {"1h": 3600, "1d": 86400}[coarse]
@@ -357,7 +370,60 @@ def apply_sketch_tier_retention(
                 "_st", "_sv", "_stv", "_stt",
             ]
             stored_cmp = stored.select(*join_cols)
-        uncovered = fresh.join(stored_cmp, on=join_cols, how="left_anti")
+        elif kind == "ohlc":
+            from ..operators.timeseries import ohlc_from_finer
+
+            width_s = {"1h": 3600, "1d": 86400}[coarse]
+            fresh = ohlc_from_finer(
+                doomed.drop("bucket_part"), width_s, series_cols=("source",)
+            )
+            join_cols = [
+                "source", "bucket_start", "open_us", "open_id", "v_open",
+                "close_us", "close_id", "v_close", "v_high", "v_low",
+                "volume", "n_samples",
+            ]
+            stored_cmp = stored.select(*join_cols)
+        elif kind == "topn":
+            from ..operators.timeseries import topn_from_finer
+
+            width_s = {"1h": 3600, "1d": 86400}[coarse]
+            fresh = topn_from_finer(
+                doomed.drop("bucket_part"), width_s, key_col=key_col,
+                series_cols=("source",),
+            )
+            join_cols = [
+                "source", "bucket_start", key_col, "value_sum", "n_rows",
+            ]
+            stored_cmp = stored.select(*join_cols)
+        else:  # changes
+            from ..operators.timeseries import changes_from_finer
+
+            width_s = {"1h": 3600, "1d": 86400}[coarse]
+            fresh = changes_from_finer(
+                doomed.drop("bucket_part"), width_s, series_cols=("source",)
+            )
+            join_cols = [
+                "source", "bucket_start", "n_changes", "n_samples",
+                "u_first", "id_first", "v_first",
+                "u_last", "id_last", "v_last",
+                "u_prev", "id_prev", "v_prev",
+            ]
+            stored_cmp = stored.select(*join_cols)
+        if kind == "changes":
+            # null-safe equality: singleton buckets carry null runner-ups
+            from functools import reduce
+
+            f_a, s_a = fresh.alias("_f"), stored_cmp.alias("_s")
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"_f.{c}").eqNullSafe(F.col(f"_s.{c}"))
+                    for c in join_cols
+                ],
+            )
+            uncovered = f_a.join(s_a, on=cond, how="left_anti")
+        else:
+            uncovered = fresh.join(stored_cmp, on=join_cols, how="left_anti")
         missing = uncovered.select("source", "bucket_start").limit(5).collect()
         if missing:
             raise RetentionError(

@@ -863,3 +863,62 @@ def merge_ohlc_increment(
         spark, inc, state_path, f"ohlc_{tier}", group_cols, remerge,
         allow_late, txn_files=files
     )
+
+
+def streaming_ohlc(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    schema,
+    width: str = "1 hour",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    id_col: str = "doc_id",
+    value_col: str = "n_tok",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Structured Streaming twin of operators/timeseries.ohlc_rollup: the
+    same ``min_by``/``max_by`` candlestick aggregates on the (ts, id)
+    order key inside a watermarked event-time window — declarative
+    aggregates the engine maintains incrementally across micro-batches,
+    so batch ≡ streaming on a drained input (pinned in pytest). Same
+    epoch-alignment argument as streaming_gauge_delta."""
+    interval_seconds(width)  # ValueError before the stream starts
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(input_path)
+    )
+    v = F.col(value_col).cast("long")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    okey = F.struct(us.alias("u"), F.col(id_col).alias("i"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(*group_cols, F.window("ts", width).alias("_w"))
+        .agg(
+            F.min_by(v, okey).alias("v_open"),
+            F.max(v).alias("v_high"),
+            F.min(v).alias("v_low"),
+            F.max_by(v, okey).alias("v_close"),
+            F.sum(v).alias("volume"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            *group_cols,
+            F.col("_w.start").alias("bucket_start"),
+            "v_open",
+            "v_high",
+            "v_low",
+            "v_close",
+            "volume",
+            "n_samples",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -122,7 +122,9 @@ def run_flow(
         merge_deriv_increment,
         merge_distinct_increment,
         merge_histogram_increment,
+        merge_ohlc_increment,
         merge_rollup_increment,
+        merge_topn_increment,
         recover_pending,
     )
     from rasusa_spark.streaming.stateful import streaming_budget_downsample
@@ -212,6 +214,24 @@ def run_flow(
             spark, d, state, tier="1h", allow_late=True, files=f
         ),
     )
+    merge_store(
+        "ohlc_1h",
+        lambda d, f: merge_ohlc_increment(
+            spark, d, state, tier="1h", allow_late=True, files=f
+        ),
+    )
+    merge_store(
+        "topn_1h",
+        lambda d, f: merge_topn_increment(
+            spark, d, state, tier="1h", key_col="doc_id",
+            allow_late=True, files=f,
+        ),
+    )
+    # NOT wired: changes_1h. The changes carrier is ORDER-SENSITIVE —
+    # its fold refuses same-bucket (ts, id) interleaves by contract, and
+    # this flow's retained files split buckets arbitrarily (verified: the
+    # fold refuses here, loudly). Pipelines whose increments arrive in
+    # time order maintain it via merge_changes_increment directly.
     merged_buckets = merged.count() if merged is not None else 0
     new_files = n_new
     # 3. optional tier-cascade retention: drop 1h bucket-day partitions

@@ -480,3 +480,81 @@ def test_sketch_tier_retention_deriv(spark, raw2k, tmp_path):
             spark, state2, drop_before=cutoff, kind="deriv"
         )
     assert spark.read.parquet(f"{state2}/deriv_1h").count() == n_before
+
+
+def test_sketch_tier_retention_ohlc_topn_changes(spark, raw2k, tmp_path):
+    """Cascade retention for the round-6 carriers: fine day partitions
+    drop only when the coarse store holds the bit-identical re-rolled
+    carrier; a partial coarse store refuses (null-safe for changes —
+    singleton buckets carry null runner-ups)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from rasusa_spark.plans.retention import (
+        RetentionError,
+        apply_sketch_tier_retention,
+    )
+    from rasusa_spark.streaming.incremental import (
+        merge_changes_increment,
+        merge_ohlc_increment,
+        merge_topn_increment,
+    )
+
+    mergers = {
+        "ohlc": lambda df, st, tier: merge_ohlc_increment(
+            spark, df, st, tier=tier, allow_late=True
+        ),
+        "topn": lambda df, st, tier: merge_topn_increment(
+            spark, df, st, tier=tier, key_col="doc_id", allow_late=True
+        ),
+        "changes": lambda df, st, tier: merge_changes_increment(
+            spark, df, st, tier=tier, allow_late=True
+        ),
+    }
+    counters = {"ohlc": "n_samples", "topn": "n_rows", "changes": "n_samples"}
+    for kind, merge in mergers.items():
+        state = str(tmp_path / f"{kind}_state")
+        merge(raw2k, state, "1h")
+        merge(raw2k, state, "1d")
+        h1 = spark.read.parquet(f"{state}/{kind}_1h")
+        days = sorted(
+            str(r.bucket_part)
+            for r in h1.select("bucket_part").distinct().collect()
+        )
+        assert len(days) >= 3
+        cd = days[2]
+        cutoff = f"{cd[:4]}-{cd[4:6]}-{cd[6:]} 00:00:00"
+        log = apply_sketch_tier_retention(
+            spark, state, drop_before=cutoff, kind=kind, key_col="doc_id"
+        )
+        assert {r.source.split("=")[1] for r in log.collect()} == set(
+            days[:2]
+        ), kind
+        left = sorted(
+            str(r.bucket_part)
+            for r in spark.read.parquet(f"{state}/{kind}_1h")
+            .select("bucket_part").distinct().collect()
+        )
+        assert left == days[2:], kind
+        # conservation: remaining fine counter + dropped == coarse counter
+        c = counters[kind]
+        left_n = (
+            spark.read.parquet(f"{state}/{kind}_1h").agg(F.sum(c)).first()[0]
+        )
+        dropped_n = sum(r.n_tok_dropped for r in log.collect())
+        d1_n = (
+            spark.read.parquet(f"{state}/{kind}_1d").agg(F.sum(c)).first()[0]
+        )
+        assert left_n + dropped_n == d1_n, kind
+
+        # refusal: a coarse store built from HALF the data mismatches
+        state2 = str(tmp_path / f"{kind}_state2")
+        merge(raw2k, state2, "1h")
+        merge(raw2k.where(F.col("row_idx") < 500), state2, "1d")
+        n_before = spark.read.parquet(f"{state2}/{kind}_1h").count()
+        with _pytest.raises(RetentionError, match="does not cover"):
+            apply_sketch_tier_retention(
+                spark, state2, drop_before=cutoff, kind=kind,
+                key_col="doc_id",
+            )
+        assert spark.read.parquet(f"{state2}/{kind}_1h").count() == n_before

@@ -1748,3 +1748,41 @@ def test_incremental_ohlc_merge_equals_batch(spark, raw4k, tmp_path):
     got = ohlc_finalize(merged.select(*batch.columns))
     want = ohlc_rollup(raw4k, 3600)
     assert key(got.select(*want.columns)) == key(want)
+
+
+def test_streaming_ohlc_equals_batch(spark, raw4k, tmp_path):
+    """The candlestick carriers are declarative min_by/max_by aggregates,
+    so Structured Streaming maintains the OHLC tier incrementally: two
+    availableNow drains (second closes the watermark-held tail via the
+    flush row) must equal the batch operator bit-for-bit."""
+    import datetime as _dt
+
+    from rasusa_spark.operators.timeseries import ohlc_rollup
+    from rasusa_spark.streaming.incremental import streaming_ohlc
+
+    inp = str(tmp_path / "oin")
+    raw = raw4k.drop("tokens") if "tokens" in raw4k.columns else raw4k
+    raw.coalesce(2).write.parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    args = (spark, inp, str(tmp_path / "ock"), str(tmp_path / "oout"))
+    streaming_ohlc(*args, schema).awaitTermination()
+    far = spark.createDataFrame(
+        [("zzz_flush", "f0", 0, _dt.datetime(2027, 1, 1), 10**9)],
+        schema="source string, doc_id string, n_tok int, ts timestamp, row_idx long",
+    ).select(*[f.name for f in schema.fields])
+    far.write.mode("append").parquet(inp)
+    streaming_ohlc(*args, schema).awaitTermination()
+
+    out = spark.read.parquet(str(tmp_path / "oout")).where(
+        F.col("source") != "zzz_flush"
+    )
+    cols = ("source", "bucket_start", "v_open", "v_high", "v_low",
+            "v_close", "volume", "n_samples")
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in ohlc_rollup(
+            raw, 3600, series_cols=("source",), id_col="doc_id"
+        ).collect()
+    )
+    assert got == want and len(want) > 0
