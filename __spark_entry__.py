@@ -516,6 +516,30 @@ def q_time_weighted_avg_1h(spark, sf_dir):
     ).select("event_type", "bucket_start", "twa", "n_samples")
 
 
+def q_twa_rerolled_1d(spark, sf_dir):
+    """Time-weighted average from the cascaded carrier: 1h TWA carriers
+    re-rolled to 1d via twa_from_finer (Σ LOCF integrals + the boundary
+    segments crossing the hour marks — raw untouched), then the shared
+    one-division finalizer. The oracle computes the 1d integral DIRECTLY
+    from raw — equality proves the boundary algebra AND the estimator
+    cross-engine."""
+    from rasusa_spark.operators.timeseries import (
+        twa_finalize,
+        twa_from_finer,
+        twa_partials,
+    )
+
+    ev = _events_cents(spark, sf_dir)
+    p1h = twa_partials(
+        ev, 3600, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    )
+    p1d = twa_from_finer(p1h, 86400, series_cols=("event_type",))
+    return twa_finalize(p1d, series_cols=("event_type",)).select(
+        "event_type", "bucket_start", "twa", "n_samples"
+    )
+
+
 def q_gauge_delta_1d(spark, sf_dir):
     """PromQL-style gauge delta per (event_type, day)
     (operators/timeseries.py:gauge_delta): last − first over the (ts,
@@ -763,6 +787,33 @@ def q_prom_rate_1h(spark, sf_dir):
     return prom_rate(
         ev, 3600, series_cols=("event_type",), value_col="n_tok",
         id_col="event_id",
+    ).select(
+        "event_type", "bucket_start", "increase", "n_samples",
+        "increase_ext", "rate_per_s",
+    )
+
+
+def q_prom_rate_rerolled_1d(spark, sf_dir):
+    """Extrapolated rate from the cascaded carrier: 1h rate carriers
+    re-rolled to 1d via rate_from_finer (Σ increases + reset-aware
+    boundary contributions between adjacent fine buckets — raw
+    untouched), then the shared extrapolation finalizer. The oracle
+    computes the 1d estimator DIRECTLY from raw — equality proves the
+    boundary algebra AND the estimator cross-engine."""
+    from rasusa_spark.operators.timeseries import (
+        prom_rate_finalize,
+        rate_from_finer,
+        rate_partials,
+    )
+
+    ev = _events_cents(spark, sf_dir)
+    p1h = rate_partials(
+        ev, 3600, series_cols=("event_type",), value_col="n_tok",
+        id_col="event_id",
+    )
+    p1d = rate_from_finer(p1h, 86400, series_cols=("event_type",))
+    return prom_rate_finalize(
+        p1d, 86400, series_cols=("event_type",)
     ).select(
         "event_type", "bucket_start", "increase", "n_samples",
         "increase_ext", "rate_per_s",
@@ -1421,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "counter_increase_1d": q_counter_increase_1d,
         "time_weighted_avg_1h": q_time_weighted_avg_1h,
+        "twa_rerolled_1d": q_twa_rerolled_1d,
         "gauge_delta_1d": q_gauge_delta_1d,
         "gauge_deriv_1d": q_gauge_deriv_1d,
         "deriv_rerolled_1d": q_deriv_rerolled_1d,
@@ -1433,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_durations_1h": q_state_durations_1h,
         "predict_linear_1d": q_predict_linear_1d,
         "prom_rate_1h": q_prom_rate_1h,
+        "prom_rate_rerolled_1d": q_prom_rate_rerolled_1d,
         "topn_rerolled_1d": q_topn_rerolled_1d,
         "heavy_hitters_1d": q_heavy_hitters_1d,
         "hist_quantile_1d": q_hist_quantile_1d,
@@ -1533,6 +1586,82 @@ SELECT event_type, bucket_start,
        CAST(sum(v) AS BIGINT) AS volume,
        count(*) AS n_samples
 FROM b GROUP BY 1, 2
+"""
+
+
+def _prom_rate_sql(width_s: int) -> str:
+    """PromQL extrapolatedRate directly from raw at ``width_s`` buckets —
+    the prom_rate_1h direct query and the prom_rate_rerolled_1d cascade
+    share this oracle shape at their widths (every double mirrored
+    operand-for-operand against prom_rate_finalize)."""
+    w_us = width_s * 1_000_000
+    return f"""
+WITH ev AS ({_EV_CENTS}),
+b AS (SELECT event_type, {_tb_sql(width_s)} AS bucket_start, ts, event_id,
+             CAST(n_tok AS BIGINT) AS v, epoch_us(ts) AS u FROM ev),
+l AS (SELECT *, lag(v) OVER (
+          PARTITION BY event_type, bucket_start ORDER BY ts, event_id
+      ) AS pv FROM b),
+a AS (SELECT event_type, bucket_start,
+             CAST(sum(CASE WHEN pv IS NULL THEN 0
+                           WHEN v < pv THEN v
+                           ELSE v - pv END) AS BIGINT) AS increase,
+             min(u) AS fu, max(u) AS lu,
+             (list(v ORDER BY u, event_id))[1] AS fv,
+             count(*) AS n_samples
+      FROM l GROUP BY 1, 2),
+g AS (SELECT *, epoch_us(bucket_start) AS bu,
+             CAST(increase AS DOUBLE) AS incd, CAST(fv AS DOUBLE) AS fvd
+      FROM a),
+h AS (SELECT *,
+             CAST(fu - bu AS DOUBLE)/1e6 AS ds0,
+             CAST(bu + {w_us} - lu AS DOUBLE)/1e6 AS de0,
+             CAST(lu - fu AS DOUBLE)/1e6 AS sampled
+      FROM g),
+i AS (SELECT *, sampled/(CAST(n_samples AS DOUBLE) - 1.0) AS avgd,
+             CASE WHEN incd > 0.0 AND fvd >= 0.0
+                       AND sampled*(fvd/incd) < ds0
+                  THEN sampled*(fvd/incd) ELSE ds0 END AS ds1
+      FROM h),
+j AS (SELECT *,
+             CASE WHEN ds1 >= avgd*1.1 THEN avgd/2.0 ELSE ds1 END AS ds,
+             CASE WHEN de0 >= avgd*1.1 THEN avgd/2.0 ELSE de0 END AS de
+      FROM i)
+SELECT event_type, bucket_start, increase, n_samples,
+       CASE WHEN n_samples >= 2 AND lu > fu
+            THEN incd * ((sampled + ds + de) / sampled)
+            ELSE NULL END AS increase_ext,
+       CASE WHEN n_samples >= 2 AND lu > fu
+            THEN (incd * ((sampled + ds + de) / sampled)) / {float(width_s)}
+            ELSE NULL END AS rate_per_s
+FROM j
+"""
+
+
+def _twa_sql(width_s: int) -> str:
+    """LOCF time-weighted average directly from raw at ``width_s``
+    buckets — the time_weighted_avg_1h direct query and the
+    twa_rerolled_1d cascade share this oracle shape at their widths
+    (integer-micros integral, one IEEE division)."""
+    return f"""
+WITH ev AS ({_EV_CENTS}),
+p AS (SELECT event_type, event_id, n_tok, epoch_us(ts) AS xu,
+             {_tb_sql(width_s)} AS bk
+      FROM ev),
+g AS (SELECT *, lead(xu) OVER (PARTITION BY event_type, bk
+                               ORDER BY xu, event_id) AS nx FROM p),
+a AS (SELECT event_type, bk AS bucket_start,
+             CAST(sum(CASE WHEN nx IS NULL THEN 0
+                           ELSE (nx - xu) * n_tok END) AS BIGINT) AS num,
+             max(xu) - min(xu) AS den,
+             (list(n_tok ORDER BY xu, event_id))[1] AS fv,
+             count(*) AS n_samples
+      FROM g GROUP BY 1, 2)
+SELECT event_type, bucket_start,
+       CASE WHEN den = 0 THEN CAST(fv AS DOUBLE)
+            ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS twa,
+       n_samples
+FROM a
 """
 
 
@@ -2167,26 +2296,8 @@ SELECT event_type, bucket_start, CAST(sum(inc) AS BIGINT) AS increase,
        CAST(CAST(sum(inc) AS BIGINT) AS DOUBLE) / 86400.0 AS rate_per_s
 FROM c GROUP BY 1, 2
 """,
-        "time_weighted_avg_1h": f"""
-WITH ev AS ({_EV_CENTS}),
-p AS (SELECT event_type, event_id, n_tok, epoch_us(ts) AS xu,
-             {_tb_sql(3600)} AS bk
-      FROM ev),
-g AS (SELECT *, lead(xu) OVER (PARTITION BY event_type, bk
-                               ORDER BY xu, event_id) AS nx FROM p),
-a AS (SELECT event_type, bk AS bucket_start,
-             CAST(sum(CASE WHEN nx IS NULL THEN 0
-                           ELSE (nx - xu) * n_tok END) AS BIGINT) AS num,
-             max(xu) - min(xu) AS den,
-             (list(n_tok ORDER BY xu, event_id))[1] AS fv,
-             count(*) AS n_samples
-      FROM g GROUP BY 1, 2)
-SELECT event_type, bucket_start,
-       CASE WHEN den = 0 THEN CAST(fv AS DOUBLE)
-            ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS twa,
-       n_samples
-FROM a
-""",
+        "time_weighted_avg_1h": _twa_sql(3600),
+        "twa_rerolled_1d": _twa_sql(86400),
         "gauge_delta_1d": f"""
 WITH ev AS ({_EV_CENTS}),
 b AS (SELECT event_type, {_tb_sql(86400)} AS bucket_start, ts, event_id,
@@ -2299,47 +2410,8 @@ SELECT event_type, bucket_start, n_samples, slope AS slope_per_s,
             ELSE (svd - slope*std)/nd + slope*90000.0 END AS predicted
 FROM s
 """,
-        "prom_rate_1h": f"""
-WITH ev AS ({_EV_CENTS}),
-b AS (SELECT event_type, {_tb_sql(3600)} AS bucket_start, ts, event_id,
-             CAST(n_tok AS BIGINT) AS v, epoch_us(ts) AS u FROM ev),
-l AS (SELECT *, lag(v) OVER (
-          PARTITION BY event_type, bucket_start ORDER BY ts, event_id
-      ) AS pv FROM b),
-a AS (SELECT event_type, bucket_start,
-             CAST(sum(CASE WHEN pv IS NULL THEN 0
-                           WHEN v < pv THEN v
-                           ELSE v - pv END) AS BIGINT) AS increase,
-             min(u) AS fu, max(u) AS lu,
-             (list(v ORDER BY u, event_id))[1] AS fv,
-             count(*) AS n_samples
-      FROM l GROUP BY 1, 2),
-g AS (SELECT *, epoch_us(bucket_start) AS bu,
-             CAST(increase AS DOUBLE) AS incd, CAST(fv AS DOUBLE) AS fvd
-      FROM a),
-h AS (SELECT *,
-             CAST(fu - bu AS DOUBLE)/1e6 AS ds0,
-             CAST(bu + 3600000000 - lu AS DOUBLE)/1e6 AS de0,
-             CAST(lu - fu AS DOUBLE)/1e6 AS sampled
-      FROM g),
-i AS (SELECT *, sampled/(CAST(n_samples AS DOUBLE) - 1.0) AS avgd,
-             CASE WHEN incd > 0.0 AND fvd >= 0.0
-                       AND sampled*(fvd/incd) < ds0
-                  THEN sampled*(fvd/incd) ELSE ds0 END AS ds1
-      FROM h),
-j AS (SELECT *,
-             CASE WHEN ds1 >= avgd*1.1 THEN avgd/2.0 ELSE ds1 END AS ds,
-             CASE WHEN de0 >= avgd*1.1 THEN avgd/2.0 ELSE de0 END AS de
-      FROM i)
-SELECT event_type, bucket_start, increase, n_samples,
-       CASE WHEN n_samples >= 2 AND lu > fu
-            THEN incd * ((sampled + ds + de) / sampled)
-            ELSE NULL END AS increase_ext,
-       CASE WHEN n_samples >= 2 AND lu > fu
-            THEN (incd * ((sampled + ds + de) / sampled)) / 3600.0
-            ELSE NULL END AS rate_per_s
-FROM j
-""",
+        "prom_rate_1h": _prom_rate_sql(3600),
+        "prom_rate_rerolled_1d": _prom_rate_sql(86400),
         "heavy_hitters_1d": f"""
 WITH c AS (SELECT {_tb_sql(86400)} AS bucket_start, user_id,
                   count(*) AS key_count FROM events GROUP BY 1, 2),

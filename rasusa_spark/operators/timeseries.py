@@ -1481,7 +1481,40 @@ def time_weighted_avg(
       bucket has den = 0 → ``twa`` = its first value.
 
     Same scale shape as ``counter_increase``: one (series, bucket)-keyed
-    window + one combinable groupBy."""
+    window + one combinable groupBy (``twa_partials``, the TWA tier's
+    mergeable STATE); the finalizer is one IEEE division per row."""
+    p = twa_partials(
+        df,
+        width_s,
+        series_cols=series_cols,
+        ts_col=ts_col,
+        value_col=value_col,
+        id_col=id_col,
+        origin_s=origin_s,
+    )
+    return twa_finalize(p, series_cols=series_cols)
+
+
+def twa_partials(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """The time-weighted-average tier's mergeable STATE: per (series,
+    bucket) the exact int64 LOCF integral ``num`` = Σ v_i·(u_{i+1}−u_i)
+    (the last sample contributes nothing) plus the first/last samples
+    with their (micros, id) order keys. Mergeable because the integral
+    is a sum of per-segment areas: folding two time-contiguous parts of
+    a bucket (or two adjacent fine buckets into a coarse one) adds their
+    integrals plus ONE boundary segment — prev part's last value LOCF'd
+    to the next part's first sample (``twa_fold``); the denominator is
+    an endpoint carrier. One (series, bucket)-partitioned window + ONE
+    combinable groupBy."""
     b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
     base = df.withColumn("_bk", b).withColumn(
         "_xu", F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -1490,27 +1523,143 @@ def time_weighted_avg(
     v = F.col(value_col).cast("long")
     nxt = F.lead("_xu").over(wd)
     seg = F.when(nxt.isNull(), F.lit(0)).otherwise((nxt - F.col("_xu")) * v)
-    out = (
+    okey = F.struct(F.col("_xu").alias("u"), F.col(id_col).alias("i"))
+    samp = F.struct(
+        F.col("_xu").alias("u"), F.col(id_col).alias("i"), v.alias("v")
+    )
+    agg = (
         base.withColumn("_seg", seg)
         .groupBy(*series_cols, F.col("_bk").alias("bucket_start"))
         .agg(
-            F.sum("_seg").alias("_num"),
-            (F.max("_xu") - F.min("_xu")).alias("_den"),
-            F.min(
-                F.struct(
-                    F.col("_xu").alias("x"),
-                    F.col(id_col).alias("i"),
-                    v.alias("v"),
-                )
-            ).alias("_first"),
+            F.sum("_seg").alias("num"),
             F.count(F.lit(1)).alias("n_samples"),
+            F.min_by(samp, okey).alias("_f"),
+            F.max_by(samp, okey).alias("_l"),
         )
     )
-    return out.select(
+    return agg.select(
         *series_cols,
         "bucket_start",
-        F.when(F.col("_den") == 0, F.col("_first.v").cast("double"))
-        .otherwise(F.col("_num").cast("double") / F.col("_den").cast("double"))
+        "num",
+        "n_samples",
+        F.col("_f.u").alias("u_first"),
+        F.col("_f.i").alias("id_first"),
+        F.col("_f.v").alias("v_first"),
+        F.col("_l.u").alias("u_last"),
+        F.col("_l.i").alias("id_last"),
+        F.col("_l.v").alias("v_last"),
+    )
+
+
+def twa_fold(
+    parts: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Fold TWA-carrier rows that share a (group, bucket) into one row:
+    Σ integrals + one LOCF boundary segment between each consecutive
+    pair of parts (prev part's last value held until the next part's
+    first sample — exactly the segment the per-part windows never saw);
+    endpoints fold by order-key min/max. Parts must cover DISJOINT
+    (ts, id) ranges; overlapping parts raise at execution time (lazy
+    ``raise_error``, same contract as ``rate_fold`` — per-part integrals
+    only compose across contiguous splits).
+
+    All inputs are ALREADY-AGGREGATED carrier tables (≤ a few parts per
+    bucket), so the window below never touches raw data."""
+    keys = [*group_cols, "bucket_start"]
+    ord_w = Window.partitionBy(*keys).orderBy(
+        F.col("u_first").asc(), F.col("id_first").asc()
+    )
+    pl_u = F.lag("u_last").over(ord_w)
+    pl_i = F.lag("id_last").over(ord_w)
+    pl_v = F.lag("v_last").over(ord_w)
+    cur_first = F.struct(
+        F.col("u_first").alias("u"), F.col("id_first").alias("i")
+    )
+    prev_last = F.struct(pl_u.alias("u"), pl_i.alias("i"))
+    boundary = (
+        F.when(pl_u.isNull(), F.lit(0))
+        .when(
+            prev_last >= cur_first,
+            F.raise_error(
+                F.lit(
+                    "twa_fold: carrier parts overlap in (ts, id) — "
+                    "per-part integrals only compose across contiguous "
+                    "splits; merge increments in time order"
+                )
+            ).cast("long"),
+        )
+        .otherwise((F.col("u_first") - pl_u) * pl_v)
+    )
+    staged = parts.withColumn("_bnd", boundary)
+    fsamp = F.struct(
+        F.col("u_first").alias("u"),
+        F.col("id_first").alias("i"),
+        F.col("v_first").alias("v"),
+    )
+    lsamp = F.struct(
+        F.col("u_last").alias("u"),
+        F.col("id_last").alias("i"),
+        F.col("v_last").alias("v"),
+    )
+    fkey = F.struct(F.col("u_first").alias("u"), F.col("id_first").alias("i"))
+    lkey = F.struct(F.col("u_last").alias("u"), F.col("id_last").alias("i"))
+    return (
+        staged.groupBy(*keys)
+        .agg(
+            (F.sum("num") + F.sum("_bnd")).alias("num"),
+            F.sum("n_samples").alias("n_samples"),
+            F.min_by(fsamp, fkey).alias("_f"),
+            F.max_by(lsamp, lkey).alias("_l"),
+        )
+        .select(
+            *keys,
+            "num",
+            "n_samples",
+            F.col("_f.u").alias("u_first"),
+            F.col("_f.i").alias("id_first"),
+            F.col("_f.v").alias("v_first"),
+            F.col("_l.u").alias("u_last"),
+            F.col("_l.i").alias("id_last"),
+            F.col("_l.v").alias("v_last"),
+        )
+    )
+
+
+def twa_from_finer(
+    partials: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """Re-roll the TWA carrier from a finer tier to ``width_s`` buckets
+    WITHOUT touching raw: fine buckets are contiguous time slices of the
+    coarse bucket, so ``twa_fold``'s boundary algebra applies exactly —
+    the coarse integral is Σ fine integrals + the LOCF segments crossing
+    the fine boundaries, which is bit-equal to ``twa_partials`` at
+    ``width_s`` over raw (pinned by test + the twa_rerolled_1d full
+    oracle)."""
+    b = time_bucket_expr(width_s, "bucket_start", origin_s=origin_s)
+    staged = partials.withColumn("bucket_start", b)
+    return twa_fold(staged, list(series_cols))
+
+
+def twa_finalize(
+    partials: DataFrame,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+) -> DataFrame:
+    """TWA finalizer over a carrier table (direct or cascaded): ONE IEEE
+    division num/(u_last − u_first) — bit-identical in DuckDB; a
+    zero-span bucket (single sample or all-ties) yields its first
+    value."""
+    den = F.col("u_last") - F.col("u_first")
+    return partials.select(
+        *series_cols,
+        "bucket_start",
+        F.when(den == 0, F.col("v_first").cast("double"))
+        .otherwise(F.col("num").cast("double") / den.cast("double"))
         .alias("twa"),
         "n_samples",
     )
@@ -2030,8 +2179,44 @@ def prom_rate(
       PromQL guard).
 
     Scale shape: one window over (series, bucket) — partition size = one
-    bucket of one series — feeding ONE combinable groupBy; the finalizer
-    is scalar arithmetic on the aggregate row."""
+    bucket of one series — feeding ONE combinable groupBy
+    (``rate_partials``, the tier's mergeable STATE); the finalizer is
+    scalar arithmetic on the aggregate row."""
+    p = rate_partials(
+        df,
+        width_s,
+        series_cols=series_cols,
+        ts_col=ts_col,
+        value_col=value_col,
+        id_col=id_col,
+        counter=counter,
+        origin_s=origin_s,
+    )
+    return prom_rate_finalize(
+        p, width_s, series_cols=series_cols, counter=counter
+    )
+
+
+def rate_partials(
+    df: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    counter: bool = True,
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """The rate/increase tier's mergeable STATE: per (series, bucket) the
+    exact int64 within-bucket increase plus the first/last samples with
+    their (micros, id) order keys. Mergeable because PromQL's range
+    vector is the bucket: folding two time-contiguous parts of a bucket
+    (or two adjacent fine buckets into a coarse one) adds their
+    increases plus ONE reset-aware boundary contribution between the
+    parts' endpoint samples (``rate_fold``); every extrapolation input
+    (first/last micros and values, n) is an endpoint/sum carrier. One
+    (series, bucket)-partitioned window + ONE combinable groupBy."""
     v = F.col(value_col).cast("long")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     b = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
@@ -2049,31 +2234,160 @@ def prom_rate(
             F.col("_v") - prev
         )
     okey = F.struct(F.col("_us").alias("u"), F.col(id_col).alias("i"))
+    samp = F.struct(
+        F.col("_us").alias("u"),
+        F.col(id_col).alias("i"),
+        F.col("_v").alias("v"),
+    )
     agg = (
         staged.withColumn("_inc", contrib)
         .groupBy(*series_cols, F.col("_bkt").alias("bucket_start"))
         .agg(
             F.sum("_inc").alias("increase"),
-            F.min("_us").alias("_first_u"),
-            F.max("_us").alias("_last_u"),
-            F.min_by("_v", okey).alias("_first_v"),
             F.count(F.lit(1)).alias("n_samples"),
+            F.min_by(samp, okey).alias("_f"),
+            F.max_by(samp, okey).alias("_l"),
         )
     )
+    return agg.select(
+        *series_cols,
+        "bucket_start",
+        "increase",
+        "n_samples",
+        F.col("_f.u").alias("u_first"),
+        F.col("_f.i").alias("id_first"),
+        F.col("_f.v").alias("v_first"),
+        F.col("_l.u").alias("u_last"),
+        F.col("_l.i").alias("id_last"),
+        F.col("_l.v").alias("v_last"),
+    )
+
+
+def rate_fold(
+    parts: DataFrame,
+    group_cols: list[str],
+    *,
+    counter: bool = True,
+) -> DataFrame:
+    """Fold rate-carrier rows that share a (group, bucket) into one row:
+    Σ increases + one reset-aware boundary contribution between each
+    consecutive pair of parts (prev part's last sample → next part's
+    first sample — exactly the pair the per-part windows never saw);
+    endpoints fold by order-key min/max. Parts must cover DISJOINT
+    (ts, id) ranges; overlapping parts raise at execution time (lazy
+    ``raise_error``, same contract as ``changes_fold`` — per-part
+    increases only compose across contiguous splits).
+
+    All inputs are ALREADY-AGGREGATED carrier tables (≤ a few parts per
+    bucket), so the window below never touches raw data."""
+    keys = [*group_cols, "bucket_start"]
+    ord_w = Window.partitionBy(*keys).orderBy(
+        F.col("u_first").asc(), F.col("id_first").asc()
+    )
+    pl_u = F.lag("u_last").over(ord_w)
+    pl_i = F.lag("id_last").over(ord_w)
+    pl_v = F.lag("v_last").over(ord_w)
+    cur_first = F.struct(
+        F.col("u_first").alias("u"), F.col("id_first").alias("i")
+    )
+    prev_last = F.struct(pl_u.alias("u"), pl_i.alias("i"))
+    vf = F.col("v_first")
+    if counter:
+        pair = F.when(vf < pl_v, vf).otherwise(vf - pl_v)
+    else:
+        pair = vf - pl_v
+    boundary = (
+        F.when(pl_u.isNull(), F.lit(0))
+        .when(
+            prev_last >= cur_first,
+            F.raise_error(
+                F.lit(
+                    "rate_fold: carrier parts overlap in (ts, id) — "
+                    "per-part increases only compose across contiguous "
+                    "splits; merge increments in time order"
+                )
+            ).cast("long"),
+        )
+        .otherwise(pair)
+    )
+    staged = parts.withColumn("_bnd", boundary)
+    fsamp = F.struct(
+        F.col("u_first").alias("u"),
+        F.col("id_first").alias("i"),
+        F.col("v_first").alias("v"),
+    )
+    lsamp = F.struct(
+        F.col("u_last").alias("u"),
+        F.col("id_last").alias("i"),
+        F.col("v_last").alias("v"),
+    )
+    fkey = F.struct(F.col("u_first").alias("u"), F.col("id_first").alias("i"))
+    lkey = F.struct(F.col("u_last").alias("u"), F.col("id_last").alias("i"))
+    return (
+        staged.groupBy(*keys)
+        .agg(
+            (F.sum("increase") + F.sum("_bnd")).alias("increase"),
+            F.sum("n_samples").alias("n_samples"),
+            F.min_by(fsamp, fkey).alias("_f"),
+            F.max_by(lsamp, lkey).alias("_l"),
+        )
+        .select(
+            *keys,
+            "increase",
+            "n_samples",
+            F.col("_f.u").alias("u_first"),
+            F.col("_f.i").alias("id_first"),
+            F.col("_f.v").alias("v_first"),
+            F.col("_l.u").alias("u_last"),
+            F.col("_l.i").alias("id_last"),
+            F.col("_l.v").alias("v_last"),
+        )
+    )
+
+
+def rate_from_finer(
+    partials: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    counter: bool = True,
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """Re-roll the rate carrier from a finer tier to ``width_s`` buckets
+    WITHOUT touching raw: fine buckets are contiguous time slices of the
+    coarse bucket, so ``rate_fold``'s boundary algebra applies exactly —
+    the coarse within-bucket increase is Σ fine increases + the
+    reset-aware contributions of the fine-boundary sample pairs, which is
+    bit-equal to ``rate_partials`` at ``width_s`` over raw (pinned by
+    test + the prom_rate_rerolled_1d full oracle)."""
+    b = time_bucket_expr(width_s, "bucket_start", origin_s=origin_s)
+    staged = partials.withColumn("bucket_start", b)
+    return rate_fold(staged, list(series_cols), counter=counter)
+
+
+def prom_rate_finalize(
+    partials: DataFrame,
+    width_s: int,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    counter: bool = True,
+) -> DataFrame:
+    """The extrapolatedRate finalizer over a rate carrier table (direct
+    or cascaded) — the one scalar double block the DuckDB oracle mirrors
+    operand-for-operand (see ``prom_rate``)."""
     w_us = width_s * 1_000_000
     bucket_us = F.unix_micros(F.col("bucket_start").cast("timestamp"))
-    # doubles, in seconds — operand order pinned against the oracle
-    dur_start = (F.col("_first_u") - bucket_us).cast("double") / F.lit(1e6)
+    dur_start = (F.col("u_first") - bucket_us).cast("double") / F.lit(1e6)
     dur_end = (
-        (bucket_us + F.lit(w_us) - F.col("_last_u")).cast("double")
+        (bucket_us + F.lit(w_us) - F.col("u_last")).cast("double")
         / F.lit(1e6)
     )
     sampled = (
-        (F.col("_last_u") - F.col("_first_u")).cast("double") / F.lit(1e6)
+        (F.col("u_last") - F.col("u_first")).cast("double") / F.lit(1e6)
     )
     avg_dur = sampled / (F.col("n_samples").cast("double") - F.lit(1.0))
     inc_d = F.col("increase").cast("double")
-    first_v_d = F.col("_first_v").cast("double")
+    first_v_d = F.col("v_first").cast("double")
     if counter:
         dur_zero = sampled * (first_v_d / inc_d)
         dur_start = F.when(
@@ -2091,10 +2405,10 @@ def prom_rate(
     )
     factor = (sampled + dur_start + dur_end) / sampled
     defined = (F.col("n_samples") >= 2) & (
-        F.col("_last_u") > F.col("_first_u")
+        F.col("u_last") > F.col("u_first")
     )
     ext = inc_d * factor
-    return agg.select(
+    return partials.select(
         *series_cols,
         "bucket_start",
         "increase",

@@ -301,14 +301,23 @@ def apply_sketch_tier_retention(
       algebra and NULL-SAFE anti-join on the full carrier (singleton
       buckets carry null runner-up samples — plain equality would refuse
       spuriously).
+    - ``kind='rate'`` (r6): re-roll via rate_fold's reset-aware boundary
+      algebra (rate_from_finer) and anti-join on the full carrier
+      including the endpoint samples.
+    - ``kind='twa'`` (r6): re-roll via twa_fold's LOCF boundary-segment
+      algebra (twa_from_finer), same full-carrier anti-join shape as
+      'rate'.
 
     The cutoff must sit on a coarse-bucket boundary; refusal deletes
     nothing; whole ``bucket_part`` day partitions drop via the Hadoop FS;
     drops append to ``{state}/tier_retention``."""
-    if kind not in ("distinct", "cms", "deriv", "ohlc", "topn", "changes"):
+    if kind not in (
+        "distinct", "cms", "deriv", "ohlc", "topn", "changes", "rate",
+        "twa",
+    ):
         raise ValueError(
             "kind must be one of 'distinct', 'cms', 'deriv', 'ohlc', "
-            f"'topn', 'changes', got {kind!r}"
+            f"'topn', 'changes', 'rate', 'twa', got {kind!r}"
         )
     if fine not in TIERS or coarse not in TIERS:
         raise ValueError(f"unknown tier in ({fine!r}, {coarse!r})")
@@ -393,6 +402,32 @@ def apply_sketch_tier_retention(
             )
             join_cols = [
                 "source", "bucket_start", key_col, "value_sum", "n_rows",
+            ]
+            stored_cmp = stored.select(*join_cols)
+        elif kind == "rate":
+            from ..operators.timeseries import rate_from_finer
+
+            width_s = {"1h": 3600, "1d": 86400}[coarse]
+            fresh = rate_from_finer(
+                doomed.drop("bucket_part"), width_s, series_cols=("source",)
+            )
+            join_cols = [
+                "source", "bucket_start", "increase", "n_samples",
+                "u_first", "id_first", "v_first",
+                "u_last", "id_last", "v_last",
+            ]
+            stored_cmp = stored.select(*join_cols)
+        elif kind == "twa":
+            from ..operators.timeseries import twa_from_finer
+
+            width_s = {"1h": 3600, "1d": 86400}[coarse]
+            fresh = twa_from_finer(
+                doomed.drop("bucket_part"), width_s, series_cols=("source",)
+            )
+            join_cols = [
+                "source", "bucket_start", "num", "n_samples",
+                "u_first", "id_first", "v_first",
+                "u_last", "id_last", "v_last",
             ]
             stored_cmp = stored.select(*join_cols)
         else:  # changes

@@ -922,3 +922,92 @@ def streaming_ohlc(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def merge_rate_increment(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    state_path: str,
+    tier: str = "1h",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    counter: bool = True,
+    allow_late: bool = False,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """O(delta) incremental maintenance of the PromQL rate/increase
+    carrier tier (operators/timeseries.py:rate_partials): state is the
+    exact within-bucket increase plus first/last samples per (group,
+    bucket); the merge is ``rate_fold``'s ordered-append algebra —
+    Σ increases + one reset-aware boundary contribution per consecutive
+    part pair. Exact for increments appended in (ts, id) order WITHIN a
+    bucket (the fold REFUSES interleaved same-bucket appends, same
+    contract as the changes carrier). Batch ≡ incremental bit-for-bit
+    under any time-ordered split; the stored tier cascades to coarser
+    buckets via ``rate_from_finer`` and finalizes to the extrapolated
+    estimator via ``prom_rate_finalize``. Same watermark +
+    partition-pruned rewrite + roll-forward transaction machinery as the
+    other carriers."""
+    from ..operators.timeseries import rate_fold, rate_partials
+
+    group_cols = list(group_cols)
+    inc = rate_partials(
+        new_rows,
+        _TIER_SECONDS[tier],
+        series_cols=group_cols,
+        value_col=value_col,
+        id_col=id_col,
+        counter=counter,
+    )
+
+    def remerge(union: DataFrame) -> DataFrame:
+        return rate_fold(union, group_cols, counter=counter)
+
+    return _merge_increment(
+        spark, inc, state_path, f"rate_{tier}", group_cols, remerge,
+        allow_late, txn_files=files
+    )
+
+
+def merge_twa_increment(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    state_path: str,
+    tier: str = "1h",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    allow_late: bool = False,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """O(delta) incremental maintenance of the time-weighted-average
+    carrier tier (operators/timeseries.py:twa_partials): state is the
+    exact int64 LOCF integral plus first/last samples per (group,
+    bucket); the merge is ``twa_fold``'s ordered-append algebra —
+    Σ integrals + one LOCF boundary segment per consecutive part pair.
+    Exact for increments appended in (ts, id) order WITHIN a bucket (the
+    fold REFUSES interleaved same-bucket appends, same contract as the
+    rate/changes carriers). Batch ≡ incremental bit-for-bit under any
+    time-ordered split; the stored tier cascades to coarser buckets via
+    ``twa_from_finer`` and finalizes via ``twa_finalize``. Same
+    watermark + partition-pruned rewrite + roll-forward transaction
+    machinery as the other carriers."""
+    from ..operators.timeseries import twa_fold, twa_partials
+
+    group_cols = list(group_cols)
+    inc = twa_partials(
+        new_rows,
+        _TIER_SECONDS[tier],
+        series_cols=group_cols,
+        value_col=value_col,
+        id_col=id_col,
+    )
+
+    def remerge(union: DataFrame) -> DataFrame:
+        return twa_fold(union, group_cols)
+
+    return _merge_increment(
+        spark, inc, state_path, f"twa_{tier}", group_cols, remerge,
+        allow_late, txn_files=files
+    )

@@ -134,6 +134,36 @@ def ops(ev):
     def q_cohort():
         return cohort_retention(ev)
 
+    from rasusa_spark.operators.timeseries import (
+        ohlc_finalize,
+        ohlc_from_finer,
+        ohlc_partials,
+        prom_rate,
+        state_durations,
+    )
+
+    def q_ohlc():
+        p1h = ohlc_partials(
+            cents, 3600, series_cols=("event_type",), value_col="n_tok",
+            id_col="event_id",
+        )
+        return ohlc_finalize(
+            ohlc_from_finer(p1h, 86400, series_cols=("event_type",)),
+            ("event_type",),
+        )
+
+    def q_state_dur():
+        return state_durations(
+            ev, 3600, series_cols=("user_id",), state_col="event_type",
+            id_col="event_id",
+        )
+
+    def q_prom_rate():
+        return prom_rate(
+            cents, 3600, series_cols=("event_type",), value_col="n_tok",
+            id_col="event_id",
+        )
+
     return {
         "sessionize": q_sessionize,
         "counter_increase_1d": q_counter,
@@ -144,6 +174,9 @@ def ops(ev):
         "cms_1h_1d_estimate": q_cms,
         "distinct_1h_1d": q_distinct,
         "cohort_retention": q_cohort,
+        "ohlc_1h_1d": q_ohlc,
+        "state_durations_1h": q_state_dur,
+        "prom_rate_1h": q_prom_rate,
     }
 
 

@@ -201,17 +201,17 @@ def run_phases(cpus: int) -> dict:
         )
 
     def range_cpu():
-        # no parquet anywhere: generated rows, same hash arithmetic —
-        # the pure-CPU ceiling of this JVM at this core count
+        # no parquet anywhere: generated rows, chained hash arithmetic —
+        # the pure-CPU ceiling of this JVM at this core count. The chain
+        # depth matters: a single hash finishes in <1 s and measures task
+        # scheduling, not compute — 8 chained rounds sustain ~10 s at 2
+        # cores, long enough for a stable ratio.
+        h = F.xxhash64(F.lit(42), "id")
+        for _ in range(7):
+            h = F.xxhash64(h, "id")
         return (
             spark.range(0, N_ROWS, 1, SHUFFLE_PARTS * 4)
-            .select(
-                F.sum(
-                    F.shiftrightunsigned(
-                        F.xxhash64(F.lit(42), "id"), 33
-                    )
-                ).alias("k")
-            )
+            .select(F.sum(F.shiftrightunsigned(h, 33)).alias("k"))
         )
 
     # warm codegen paths

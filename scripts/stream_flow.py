@@ -227,11 +227,13 @@ def run_flow(
             allow_late=True, files=f,
         ),
     )
-    # NOT wired: changes_1h. The changes carrier is ORDER-SENSITIVE —
-    # its fold refuses same-bucket (ts, id) interleaves by contract, and
-    # this flow's retained files split buckets arbitrarily (verified: the
-    # fold refuses here, loudly). Pipelines whose increments arrive in
-    # time order maintain it via merge_changes_increment directly.
+    # NOT wired: changes_1h / rate_1h / twa_1h. Those carriers are
+    # ORDER-SENSITIVE — their folds refuse same-bucket (ts, id)
+    # interleaves by contract, and this flow's retained files split
+    # buckets arbitrarily (verified: the changes fold refuses here,
+    # loudly). Pipelines whose increments arrive in time order maintain
+    # them via merge_changes_increment / merge_rate_increment /
+    # merge_twa_increment directly.
     merged_buckets = merged.count() if merged is not None else 0
     new_files = n_new
     # 3. optional tier-cascade retention: drop 1h bucket-day partitions

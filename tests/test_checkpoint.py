@@ -497,7 +497,9 @@ def test_sketch_tier_retention_ohlc_topn_changes(spark, raw2k, tmp_path):
     from rasusa_spark.streaming.incremental import (
         merge_changes_increment,
         merge_ohlc_increment,
+        merge_rate_increment,
         merge_topn_increment,
+        merge_twa_increment,
     )
 
     mergers = {
@@ -510,8 +512,17 @@ def test_sketch_tier_retention_ohlc_topn_changes(spark, raw2k, tmp_path):
         "changes": lambda df, st, tier: merge_changes_increment(
             spark, df, st, tier=tier, allow_late=True
         ),
+        "rate": lambda df, st, tier: merge_rate_increment(
+            spark, df, st, tier=tier, allow_late=True
+        ),
+        "twa": lambda df, st, tier: merge_twa_increment(
+            spark, df, st, tier=tier, allow_late=True
+        ),
     }
-    counters = {"ohlc": "n_samples", "topn": "n_rows", "changes": "n_samples"}
+    counters = {
+        "ohlc": "n_samples", "topn": "n_rows", "changes": "n_samples",
+        "rate": "n_samples", "twa": "n_samples",
+    }
     for kind, merge in mergers.items():
         state = str(tmp_path / f"{kind}_state")
         merge(raw2k, state, "1h")

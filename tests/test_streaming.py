@@ -1786,3 +1786,65 @@ def test_streaming_ohlc_equals_batch(spark, raw4k, tmp_path):
         ).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_incremental_rate_merge_equals_batch(spark, raw4k, tmp_path):
+    """Rate carrier O(delta) merge: a TIME-ORDERED split of the input
+    folds to the batch carrier bit-for-bit (Σ increases + the boundary
+    contribution the per-part windows never saw), and finalizing the
+    stored carrier equals prom_rate over raw."""
+    from rasusa_spark.operators.timeseries import (
+        prom_rate,
+        prom_rate_finalize,
+        rate_partials,
+    )
+    from rasusa_spark.streaming.incremental import merge_rate_increment
+
+    state = str(tmp_path / "state")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = int(
+        raw4k.select(us.alias("u")).approxQuantile("u", [0.5], 0.0)[0]
+    )
+    first = raw4k.where(us <= mid)
+    second = raw4k.where(us > mid)
+    merge_rate_increment(spark, first, state, tier="1h", files=["f0"])
+    merged = merge_rate_increment(
+        spark, second, state, tier="1h", allow_late=True, files=["f1"]
+    )
+    batch = rate_partials(raw4k, 3600)
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(merged.select(*batch.columns)) == key(batch)
+    got = prom_rate_finalize(merged.select(*batch.columns), 3600)
+    want = prom_rate(raw4k, 3600)
+    assert key(got.select(*want.columns)) == key(want)
+
+
+def test_incremental_twa_merge_equals_batch(spark, raw4k, tmp_path):
+    """TWA carrier O(delta) merge: a TIME-ORDERED split of the input
+    folds to the batch carrier bit-for-bit (Σ integrals + the LOCF
+    boundary segment the per-part windows never saw), and finalizing the
+    stored carrier equals time_weighted_avg over raw."""
+    from rasusa_spark.operators.timeseries import (
+        time_weighted_avg,
+        twa_finalize,
+        twa_partials,
+    )
+    from rasusa_spark.streaming.incremental import merge_twa_increment
+
+    state = str(tmp_path / "state")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = int(
+        raw4k.select(us.alias("u")).approxQuantile("u", [0.5], 0.0)[0]
+    )
+    first = raw4k.where(us <= mid)
+    second = raw4k.where(us > mid)
+    merge_twa_increment(spark, first, state, tier="1h", files=["f0"])
+    merged = merge_twa_increment(
+        spark, second, state, tier="1h", allow_late=True, files=["f1"]
+    )
+    batch = twa_partials(raw4k, 3600)
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(merged.select(*batch.columns)) == key(batch)
+    got = twa_finalize(merged.select(*batch.columns))
+    want = time_weighted_avg(raw4k, 3600)
+    assert key(got.select(*want.columns)) == key(want)

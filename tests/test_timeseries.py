@@ -1530,3 +1530,95 @@ def test_prom_rate_extrapolation_semantics(spark):
     # d: singleton
     assert out["d"].increase == 0
     assert out["d"].increase_ext is None and out["d"].rate_per_s is None
+
+
+def test_rate_carrier_cascade_bit_equal(spark):
+    """rate_partials at 1h → rate_from_finer to 1d must bit-equal
+    rate_partials at 1d from raw (Σ increases + boundary contributions),
+    and the finalizer over the cascaded carrier must reproduce the direct
+    prom_rate query exactly — raw untouched by the coarse tier."""
+    from rasusa_spark.operators.timeseries import (
+        prom_rate,
+        prom_rate_finalize,
+        rate_from_finer,
+        rate_partials,
+    )
+    from rasusa_spark.synth import tokens_raw_df
+
+    raw = tokens_raw_df(spark, 3000, with_tokens=False, partitions=3)
+    fine = rate_partials(raw, 3600)
+    cascaded = rate_from_finer(fine, 86400)
+    direct = rate_partials(raw, 86400)
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(cascaded.select(*direct.columns)) == key(direct)
+    assert direct.count() > 0
+    got = prom_rate_finalize(cascaded, 86400)
+    want = prom_rate(raw, 86400)
+    assert key(got.select(*want.columns)) == key(want)
+    # layout invariance
+    fine13 = rate_partials(raw.repartition(13), 3600)
+    assert key(rate_from_finer(fine13, 86400).select(*direct.columns)) == key(
+        direct
+    )
+    # gauge mode (counter=False): plain last-first boundary algebra
+    fine_g = rate_partials(raw, 3600, counter=False)
+    casc_g = rate_from_finer(fine_g, 86400, counter=False)
+    dir_g = rate_partials(raw, 86400, counter=False)
+    assert key(casc_g.select(*dir_g.columns)) == key(dir_g)
+
+
+def test_rate_fold_refuses_interleaved_parts(spark):
+    """Per-part increases do not compose across interleaved samples —
+    the fold must raise, not silently mis-sum."""
+    from rasusa_spark.operators.timeseries import rate_fold, rate_partials
+    from rasusa_spark.synth import tokens_raw_df
+
+    raw = tokens_raw_df(spark, 400, with_tokens=False, partitions=2)
+    a = rate_partials(raw.where(F.col("row_idx") % 2 == 0), 86400)
+    b = rate_partials(raw.where(F.col("row_idx") % 2 == 1), 86400)
+    with pytest.raises(Exception, match="overlap"):
+        rate_fold(a.unionByName(b), ["source"]).collect()
+
+
+def test_twa_carrier_cascade_bit_equal(spark):
+    """twa_partials at 1h → twa_from_finer to 1d must bit-equal
+    twa_partials at 1d from raw (Σ integrals + LOCF boundary segments
+    crossing the hour marks), and the finalizer over the cascaded
+    carrier must reproduce time_weighted_avg exactly — raw untouched by
+    the coarse tier."""
+    from rasusa_spark.operators.timeseries import (
+        time_weighted_avg,
+        twa_finalize,
+        twa_from_finer,
+        twa_partials,
+    )
+    from rasusa_spark.synth import tokens_raw_df
+
+    raw = tokens_raw_df(spark, 3000, with_tokens=False, partitions=3)
+    fine = twa_partials(raw, 3600)
+    cascaded = twa_from_finer(fine, 86400)
+    direct = twa_partials(raw, 86400)
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(cascaded.select(*direct.columns)) == key(direct)
+    assert direct.count() > 0
+    got = twa_finalize(cascaded)
+    want = time_weighted_avg(raw, 86400)
+    assert key(got.select(*want.columns)) == key(want)
+    # layout invariance
+    fine13 = twa_partials(raw.repartition(13), 3600)
+    assert key(twa_from_finer(fine13, 86400).select(*direct.columns)) == key(
+        direct
+    )
+
+
+def test_twa_fold_refuses_interleaved_parts(spark):
+    """Per-part LOCF integrals do not compose across interleaved
+    samples — the fold must raise, not silently mis-integrate."""
+    from rasusa_spark.operators.timeseries import twa_fold, twa_partials
+    from rasusa_spark.synth import tokens_raw_df
+
+    raw = tokens_raw_df(spark, 400, with_tokens=False, partitions=2)
+    a = twa_partials(raw.where(F.col("row_idx") % 2 == 0), 86400)
+    b = twa_partials(raw.where(F.col("row_idx") % 2 == 1), 86400)
+    with pytest.raises(Exception, match="overlap"):
+        twa_fold(a.unionByName(b), ["source"]).collect()
