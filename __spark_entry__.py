@@ -1292,6 +1292,20 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.py:semantic_dedup,
+    Abbas et al. 2023): IVF-cell partition → within-cell cosine pairs
+    (rounded-6 ≥ 0.4) → transitive closure → canonical-min cluster label
+    per vector. The oracle rebuilds the exact centroids outside Spark
+    (portable md5 sample + the same numpy k-means), mirrors the
+    assignment/pair/closure pipeline in SQL, so the CLUSTERING — not
+    just the scores — is proven cross-engine."""
+    from rasusa_spark.operators.similarity import semantic_dedup
+
+    embs = _load(spark, sf_dir, "embeddings")
+    return semantic_dedup(embs, threshold=0.4, n_cells=8, sample=512)
+
+
 def q_cosine_threshold(spark, sf_dir):
     """Brute-force cosine vs the all-ones probe vector, thresholded (set
     semantics avoid top-k boundary-tie sensitivity)."""
@@ -1512,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "prepare_pipeline": q_prepare_pipeline,
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
@@ -1786,16 +1801,15 @@ def _vec_lit(v) -> str:
     return "[" + ",".join("%.17g" % float(x) for x in v) + "]"
 
 
-def _ivf_oracle_sql() -> str | None:
-    """Full DuckDB oracle for q_ivf_topk (VERDICT r3 #2). The centroids are
-    a pure function of (seed, vec_ids, embeddings): the training sample is
-    the 512 smallest portable-md5 hashes (signed 64-bit pack — matches
-    Spark's shiftleft|or), and kmeans_centroids is the same numpy code the
-    Spark trainer calls, so the literals here are BIT-IDENTICAL to what
-    q_ivf_topk derives at sf0.01. Cell assignment = first-position argmax
-    of inner product against the centroid literals (list_position finds
-    the first maximum — numpy argmax semantics); probe cells and the final
-    exact-cosine top-k mirror ivf_topk exactly."""
+def _rebuilt_centroids(
+    n_cells: int = 8, sample: int = 512, seed: int = 7
+) -> "np.ndarray | None":
+    """Rebuild the IVF codebook OUTSIDE Spark, bit-identical to
+    ``ivf_build_centroids`` at sf0.01: the training sample is the
+    ``sample`` smallest portable-md5 hashes (signed 64-bit pack — matches
+    Spark's shiftleft|or), and ``kmeans_centroids`` is the same numpy
+    code the Spark trainer calls. Shared by the IVF-topk and
+    semantic-dedup oracles."""
     import hashlib
     import os
 
@@ -1810,14 +1824,26 @@ def _ivf_oracle_sql() -> str | None:
     rows = con.execute(f"SELECT vec_id, embedding FROM '{path}'").fetchall()
     con.close()
 
-    def h64(i: int, seed: int = 7) -> int:
-        d = hashlib.md5(f"{i}:{seed}".encode()).hexdigest()
+    def h64(i: int, s: int = seed) -> int:
+        d = hashlib.md5(f"{i}:{s}".encode()).hexdigest()
         h = (int(d[:8], 16) << 32) | int(d[8:16], 16)
         return h - (1 << 64) if h >= (1 << 63) else h
 
     rows.sort(key=lambda r: (h64(r[0]), r[0]))
-    mat = np.array([r[1] for r in rows[:512]], dtype=np.float64)
-    cents = kmeans_centroids(mat, n_cells=8, iters=8, seed=7)
+    mat = np.array([r[1] for r in rows[:sample]], dtype=np.float64)
+    return kmeans_centroids(mat, n_cells=n_cells, iters=8, seed=seed)
+
+
+def _ivf_oracle_sql() -> str | None:
+    """Full DuckDB oracle for q_ivf_topk (VERDICT r3 #2). The centroid
+    literals are BIT-IDENTICAL to what q_ivf_topk derives at sf0.01
+    (``_rebuilt_centroids``). Cell assignment = first-position argmax
+    of inner product against the centroid literals (list_position finds
+    the first maximum — numpy argmax semantics); probe cells and the final
+    exact-cosine top-k mirror ivf_topk exactly."""
+    cents = _rebuilt_centroids(n_cells=8, sample=512, seed=7)
+    if cents is None:
+        return None
     q = np.ones(64) / np.sqrt(64.0)
     probes = [int(c) for c in (cents @ q).argsort()[::-1][:3]]
     sims = "[" + ",".join(
@@ -1831,6 +1857,41 @@ assigned AS (SELECT vec_id, embedding,
 SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], [{ones}]), 6) AS cosine
 FROM assigned WHERE cell IN ({",".join(map(str, probes))})
 ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+def _semantic_dedup_oracle_sql() -> str | None:
+    """Full DuckDB oracle for q_semantic_dedup: rebuilds the exact pinned
+    codebook outside Spark (``_rebuilt_centroids`` — same md5 sample, same
+    numpy k-means), then mirrors the whole pipeline in SQL: first-max
+    inner-product cell assignment (scale-invariant, so the unnormalized
+    inner product gives the same argmax as Spark's normalized one),
+    within-cell pairs at round-6 cosine ≥ 0.4, recursive-CTE transitive
+    closure, min-label canonical cluster ids with singleton fallback —
+    so the CLUSTERING itself, not just the scores, is proven
+    cross-engine."""
+    cents = _rebuilt_centroids(n_cells=8, sample=512, seed=7)
+    if cents is None:
+        return None
+    sims = "[" + ",".join(
+        f"list_inner_product(embedding::DOUBLE[], {_vec_lit(c)})" for c in cents
+    ) + "]"
+    return f"""
+WITH RECURSIVE scored AS (SELECT vec_id, embedding, {sims} AS sims FROM embeddings),
+assigned AS (SELECT vec_id, embedding,
+  list_position(sims, list_max(sims)) - 1 AS cell FROM scored),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b USING (cell)
+  WHERE a.vec_id < b.vec_id
+    AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT src AS node, src AS label FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+SELECT v.vec_id AS vec_id, coalesce(m.label, v.vec_id) AS cluster_id
+FROM embeddings v LEFT JOIN
+  (SELECT node, min(label) AS label FROM reach GROUP BY 1) m
+ON v.vec_id = m.node"""
 
 
 def _lsh_oracle_sql() -> str:
@@ -2932,6 +2993,11 @@ FROM events GROUP BY 1
         **(
             {"ivf_topk": ivf}
             if (ivf := _ivf_oracle_sql()) is not None
+            else {}
+        ),
+        **(
+            {"semantic_dedup": sem}
+            if (sem := _semantic_dedup_oracle_sql()) is not None
             else {}
         ),
     }

@@ -350,6 +350,64 @@ def lsh_topk_pruned(
     return cosine_topk(df, query, k, vec_col, id_col)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 8,
+    sample: int = 512,
+    iters: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): k-means-partition the corpus into cells
+    with the IVF codebook (deterministic, layout-invariant training
+    sample — ``ivf_build_centroids``), compute pairwise cosine ONLY
+    within a cell, transitively close pairs with cosine ≥ ``threshold``
+    into clusters, and label every vector with its cluster's canonical
+    (minimum) id. Returns ``(vec_id, cluster_id)`` —
+    ``where(cluster_id != vec_id)`` is the semantic drop set, one
+    retained vector per cluster.
+
+    100-TB shape: the codebook trains on a bounded seeded-hash sample
+    (O(sample), layout-invariant); assignment is one Arrow-batched
+    matmul projection; the only pair work is the within-cell self-join —
+    cells bound the quadratic term exactly like LSH bands (size the cell
+    count so N/n_cells² pairs fit a task; a pathologically dense cell is
+    the simhash ``bucket_cap`` problem and takes the same star-collapse
+    treatment). The closure is pointer-doubling connected components
+    (graph.py) — O(log diameter) rounds, localCheckpointed.
+
+    Cosine is rounded to 6 decimals BEFORE the threshold compare (the
+    cross-engine discipline the cosine_threshold query pins): the edge
+    SET, not just the scores, must agree with the DuckDB oracle."""
+    from .dedup import dedup_clusters
+
+    cents = ivf_build_centroids(
+        df, n_cells=n_cells, sample=sample, iters=iters, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    )
+    asg = ivf_assign(df, cents, vec_col=vec_col).select(
+        id_col, vec_col, "ivf_cell"
+    )
+    a = F.col(f"a.{vec_col}")
+    b = F.col(f"b.{vec_col}")
+    pairs = (
+        asg.alias("a")
+        .join(asg.alias("b"), on="ivf_cell")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return dedup_clusters(df, pairs, id_col=id_col)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

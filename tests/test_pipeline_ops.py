@@ -895,6 +895,80 @@ def test_ivf_topk(spark, embs):
     assert len(exact & {r.vec_id for r in got}) >= 2  # approximate overlap
 
 
+def test_semantic_dedup_mirrors_numpy_reference(spark, embs):
+    """semantic_dedup (SemDeDup, Abbas et al. 2023) against an independent
+    driver-side mirror: same md5-sample k-means codebook, normalized-argmax
+    cell assignment, within-cell rounded cosine >= t edges, union-find
+    closure with min-id canonical labels. The FULL 500-row clustering must
+    match, and it must be partition-layout invariant."""
+    import hashlib
+
+    from rasusa_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    t, n_cells, sample, seed = 0.4, 4, 128, 7
+    rows = embs.select("vec_id", "embedding").collect()
+
+    def h64(i: int) -> int:
+        d = hashlib.md5(f"{i}:{seed}".encode()).hexdigest()
+        h = (int(d[:8], 16) << 32) | int(d[8:16], 16)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    srt = sorted(rows, key=lambda r: (h64(r.vec_id), r.vec_id))
+    cents = kmeans_centroids(
+        np.array([r.embedding for r in srt[:sample]], dtype=np.float64),
+        n_cells=n_cells, iters=8, seed=seed,
+    )
+    ids = [r.vec_id for r in rows]
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    nm = mat / np.maximum(norms[:, None], 1e-12)
+    cell = (nm @ cents.T).argmax(axis=1)
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_cell: dict[int, list[int]] = {}
+    for idx, i in enumerate(ids):
+        by_cell.setdefault(int(cell[idx]), []).append(idx)
+    for members in by_cell.values():
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                cos = float(mat[a] @ mat[b]) / (norms[a] * norms[b])
+                if round(cos, 6) >= t:
+                    ra, rb = find(ids[a]), find(ids[b])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in ids}
+    assert any(v != k for k, v in expected.items())  # fixture has clusters
+    assert any(v == k for k, v in expected.items())  # and singletons
+
+    got = {
+        r.vec_id: r.cluster_id
+        for r in semantic_dedup(
+            embs, threshold=t, n_cells=n_cells, sample=sample, seed=seed
+        ).collect()
+    }
+    assert got == expected
+
+    relaid = {
+        r.vec_id: r.cluster_id
+        for r in semantic_dedup(
+            embs.repartition(13), threshold=t, n_cells=n_cells,
+            sample=sample, seed=seed,
+        ).collect()
+    }
+    assert relaid == expected
+
+
 def test_embedding_near_duplicates_self(spark, embs):
     doubled = embs.limit(40).union(
         embs.limit(40).withColumn("vec_id", F.col("vec_id") + 100000)
