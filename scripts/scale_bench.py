@@ -141,6 +141,41 @@ def run_one(cpus: int) -> dict:
     }
 
 
+STAGE_RETAINED = os.path.join(REPO, ".data", "scale_retained_fixture")
+STAGE_H1 = os.path.join(REPO, ".data", "scale_h1_fixture")
+
+
+def ensure_stage_fixtures() -> None:
+    """Materialize the mid-pipeline tables the stage legs read (the
+    SELECTION OUTPUT and the 1h tier), once, so both core-count legs time
+    identical input. Built at local[32]; contents are deterministic
+    (threshold selection keys are f(seed, group, id))."""
+    if os.path.exists(os.path.join(STAGE_H1, "_SUCCESS")):
+        return
+    from pyspark.sql import functions as F
+
+    from rasusa_spark.operators.downsample import downsample
+    from rasusa_spark.operators.rollup import rollup_all_tiers
+    from rasusa_spark.session import get_spark
+
+    spark = get_spark(
+        "scale_stage_fixtures", master="local[32]", shuffle_partitions=64
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(DATA_DIR).select(ID_COL, "n_tok", "source", "ts")
+    kept = downsample(
+        df.withColumn("bucket_start", F.date_trunc("day", "ts")),
+        seed=42, group_cols=("source", "bucket_start"), mode="bases",
+        bases=50_000_000, strategy="threshold", id_col=ID_COL,
+    )
+    kept.write.mode("overwrite").parquet(STAGE_RETAINED)
+    retained = spark.read.parquet(STAGE_RETAINED)
+    rollup_all_tiers(retained.drop("bucket_start"))["1h"].write.mode(
+        "overwrite"
+    ).parquet(STAGE_H1)
+    spark.stop()
+
+
 def run_phases(cpus: int) -> dict:
     """Phase-level decomposition (VERDICT r5 Next #1 'done' alternative):
     time each pipeline ingredient IN ISOLATION at this core count so the
@@ -150,7 +185,16 @@ def run_phases(cpus: int) -> dict:
     over int ids (pure CPU on scanned ints), (d) a generated-range
     xxhash64 fold with NO parquet scan at all — the pure-CPU control
     inside the same JVM/codegen machinery, isolating scan/decode from
-    compute. Best-of-REPEATS each."""
+    compute. Plus the four PIPELINE STAGES of the scale-bench job itself
+    (the primitives above all scale ≥0.8 in a clean window while the full
+    job samples ~0.65, so the drag must live in a composite stage):
+    (e) the threshold downsample stage → noop (scan + group shuffle +
+    cumsum window + filter, no write), (f) re-writing the retained table
+    to the tmpfs sink (read + parquet ENCODE + write — the job's only
+    data-scale materialization), (g) the three rollup tiers + gap-fill
+    from a pre-materialized retained fixture → noop, (h) Gorilla blob
+    encode of the pre-materialized 1h tier → noop (Arrow + pandas UDF).
+    Best-of-REPEATS each."""
     from pyspark.sql import functions as F
 
     from rasusa_spark.session import get_spark
@@ -214,11 +258,66 @@ def run_phases(cpus: int) -> dict:
             .select(F.sum(F.shiftrightunsigned(h, 33)).alias("k"))
         )
 
+    from rasusa_spark.codecs.blobs import compress_metric_streams
+    from rasusa_spark.operators.downsample import downsample
+    from rasusa_spark.operators.rollup import rollup_all_tiers
+
+    retained = spark.read.parquet(STAGE_RETAINED)
+    h1_tier = spark.read.parquet(STAGE_H1)
+    write_dir = os.path.join(SINK_DIR, f"phase_write_{cpus}")
+
+    def downsample_stage():
+        return downsample(
+            base.select(ID_COL, "n_tok", "source", "ts").withColumn(
+                "bucket_start", F.date_trunc("day", "ts")
+            ),
+            seed=42, group_cols=("source", "bucket_start"), mode="bases",
+            bases=50_000_000, strategy="threshold", id_col=ID_COL,
+        )
+
+    def timed_write() -> float:
+        walls = []
+        for _ in range(REPEATS):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            retained.write.mode("overwrite").parquet(write_dir)
+            walls.append(time.perf_counter() - t0)
+        import shutil
+
+        shutil.rmtree(write_dir, ignore_errors=True)
+        return min(walls)
+
+    def run_rollup_stage() -> None:
+        # same write pattern as pipeline(): raw to noop, 1h persisted and
+        # reused by 1d (writing the tiers as a union would re-execute the
+        # shared subtree per branch — the documented plan trap)
+        tiers = rollup_all_tiers(retained.drop("bucket_start"))
+        h1 = tiers["1h"].persist()
+        tiers["raw"].write.format("noop").mode("overwrite").save()
+        h1.write.format("noop").mode("overwrite").save()
+        tiers["1d"].write.format("noop").mode("overwrite").save()
+        h1.unpersist()
+
+    def timed_rollup() -> float:
+        walls = []
+        for _ in range(REPEATS):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            run_rollup_stage()
+            walls.append(time.perf_counter() - t0)
+        return min(walls)
+
+    def blob_stage():
+        return compress_metric_streams(h1_tier)
+
     # warm codegen paths
     int_scan().write.format("noop").mode("overwrite").save()
     string_scan().write.format("noop").mode("overwrite").save()
     hash_select().write.format("noop").mode("overwrite").save()
     range_cpu().write.format("noop").mode("overwrite").save()
+    downsample_stage().write.format("noop").mode("overwrite").save()
+    run_rollup_stage()
+    blob_stage().write.format("noop").mode("overwrite").save()
 
     out = {
         "cpus": cpus,
@@ -226,6 +325,10 @@ def run_phases(cpus: int) -> dict:
         "string_scan_sec": round(timed(string_scan), 3),
         "hash_select_sec": round(timed(hash_select), 3),
         "range_cpu_sec": round(timed(range_cpu), 3),
+        "downsample_stage_sec": round(timed(downsample_stage), 3),
+        "retained_write_sec": round(timed_write(), 3),
+        "rollup_stage_sec": round(timed_rollup(), 3),
+        "blob_stage_sec": round(timed(blob_stage), 3),
     }
     spark.stop()
     return out
@@ -244,11 +347,13 @@ def main() -> None:
         print(json.dumps(run_one(args.run_one)))
         return
     if args.run_phases:
+        ensure_stage_fixtures()
         print(json.dumps(run_phases(args.run_phases)))
         return
 
     if args.phase_probe:
         # per-leg scaling: each leg in its own pinned JVM per core count
+        ensure_stage_fixtures()
         legs = []
         for cpus in [int(c) for c in args.cpu_list.split(",")]:
             pin = (
@@ -266,15 +371,9 @@ def main() -> None:
         lo, hi = legs[0], legs[-1]
         factor = hi["cpus"] / lo["cpus"]
         eff = {
-            k.removesuffix("_sec"): round(
-                (lo[k] / hi[k]) / factor, 3
-            )
-            for k in (
-                "int_scan_sec",
-                "string_scan_sec",
-                "hash_select_sec",
-                "range_cpu_sec",
-            )
+            k.removesuffix("_sec"): round((lo[k] / hi[k]) / factor, 3)
+            for k in lo
+            if k.endswith("_sec")
         }
         summary = {"legs": legs, "per_leg_efficiency": eff}
         print(json.dumps(summary))
