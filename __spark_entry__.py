@@ -1292,6 +1292,37 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs)
 
 
+_MIX_WEIGHTS = {"en": 0.40, "fr": 0.35, "zh": 0.10, "es": 0.10, "de": 0.05}
+
+
+def _doc_key_expr():
+    """Oracle-expressible uniform key over doc_id (same affine-rescale
+    discipline as _li_key_expr: the raw Knuth hash is in [0, 2^32), the
+    monotone rescale spreads it over int64 for the threshold strategy's
+    key-space bucketing, and the SQL oracle orders by the raw hash)."""
+    k32 = (F.col("doc_id") * _KNUTH + F.lit(40503)) % F.lit(4294967296)
+    return (k32 - F.lit(2147483648)) * F.lit(4294967296)
+
+
+def q_mix_corpus(spark, sf_dir):
+    """Domain-mixture resampling (operators/mix.py — DoReMi / Pile recipe
+    data mixing): documents re-weighted to a target lang mixture under a
+    12k-token global budget; each lang keeps its hash-ordered prefix until
+    the cumulative token count crosses its share (fr's share exceeds its
+    corpus — the keep-all/under-fill path — while the rest truncate). The
+    oracle mirrors the budget arithmetic (shared mixture_budgets) and the
+    per-domain cumulative-window selection exactly."""
+    from rasusa_spark.operators.mix import mix_corpus
+
+    docs = _load(spark, sf_dir, "documents")
+    d = docs.withColumn("n_tok", token_count(F.col("text")))
+    kept = mix_corpus(
+        d, _MIX_WEIGHTS, 12_000, seed=0, domain_col="lang",
+        id_col="doc_id", weight_col="n_tok", key_expr=_doc_key_expr(),
+    )
+    return kept.select("doc_id", "lang")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (similarity.py:semantic_dedup,
     Abbas et al. 2023): IVF-cell partition → within-cell cosine pairs
@@ -1527,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "semantic_dedup": q_semantic_dedup,
+        "mix_corpus": q_mix_corpus,
         "prepare_pipeline": q_prepare_pipeline,
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
@@ -1892,6 +1924,30 @@ SELECT v.vec_id AS vec_id, coalesce(m.label, v.vec_id) AS cluster_id
 FROM embeddings v LEFT JOIN
   (SELECT node, min(label) AS label FROM reach GROUP BY 1) m
 ON v.vec_id = m.node"""
+
+
+def _mix_oracle_sql() -> str:
+    """Oracle for q_mix_corpus: the per-domain budgets are a pure function
+    of the weight table (shared ``mixture_budgets`` — no data dependence),
+    inlined as VALUES literals; the selection mirror is the threshold
+    contract (keep while the PREVIOUS per-domain cumulative token count is
+    under budget, ordered by the portable Knuth key)."""
+    from rasusa_spark.operators.mix import mixture_budgets
+
+    budgets = mixture_budgets(_MIX_WEIGHTS, 12_000)
+    vals = ",".join(f"('{d}',{b})" for d, b in sorted(budgets.items()))
+    return rf"""
+WITH t AS (SELECT doc_id, lang,
+        length(regexp_extract_all(text, '\S+')) AS n_tok,
+        (doc_id * {_KNUTH} + 40503) % 4294967296 AS k
+        FROM documents),
+dim AS (SELECT * FROM (VALUES {vals}) AS v(lang, b)),
+c AS (SELECT t.*, dim.b,
+        coalesce(sum(n_tok) OVER (PARTITION BY t.lang ORDER BY k, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM t JOIN dim USING (lang))
+SELECT doc_id, lang FROM c WHERE prev < b
+"""
 
 
 def _lsh_oracle_sql() -> str:
@@ -3000,4 +3056,5 @@ FROM events GROUP BY 1
             if (sem := _semantic_dedup_oracle_sql()) is not None
             else {}
         ),
+        "mix_corpus": _mix_oracle_sql(),
     }

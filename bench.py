@@ -65,6 +65,7 @@ HEADLINE = [
     "ohlc_rerolled_1d",
     "state_durations_1h",
     "prom_rate_1h",
+    "semantic_dedup",
 ]
 
 
