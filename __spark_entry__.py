@@ -36,7 +36,12 @@ from rasusa_spark.operators.dedup import (  # noqa: E402
 )
 from rasusa_spark.operators.downsample import downsample, one_pass_hash  # noqa: E402
 from rasusa_spark.operators.multimodal import extract_features, synth_media_df  # noqa: E402
-from rasusa_spark.operators.rollup import gap_fill, rollup, rollup_from_finer  # noqa: E402
+from rasusa_spark.operators.rollup import (  # noqa: E402
+    gap_fill,
+    realtime_rollup,
+    rollup,
+    rollup_from_finer,
+)
 from rasusa_spark.operators.similarity import cosine_topk, lsh_bucket_topk  # noqa: E402
 from rasusa_spark.operators.text import bpe_ish_token_count, content_hash, token_count  # noqa: E402
 from rasusa_spark.synth import seed_tokens_df  # noqa: E402
@@ -129,6 +134,26 @@ def q_rollup_rerolled_1d(spark, sf_dir):
     ev = _events_cents(spark, sf_dir)
     h1 = rollup(ev, "1h", group_cols=("event_type",))
     return rollup_from_finer(h1, "1d", group_cols=("event_type",)).select(*_ROLLUP_COLS)
+
+
+def q_realtime_rollup_1h(spark, sf_dir):
+    """Real-time continuous aggregate (rollup.py:realtime_rollup —
+    TimescaleDB public semantics): the materialized 1h tier serves buckets
+    strictly before the hour-aligned watermark (simulated here as the
+    rollup of the pre-watermark raw slice), the raw tail aggregates live,
+    and the two union. The oracle is the DIRECT full 1h rollup from raw —
+    equality proves the stored/live split covers every bucket exactly
+    once (no gap, no double-count at the boundary)."""
+    ev = _events_cents(spark, sf_dir)
+    wm = "2024-01-16 00:00:00"
+    stored = rollup(
+        ev.where(F.col("ts") < F.to_timestamp(F.lit(wm))),
+        "1h",
+        group_cols=("event_type",),
+    )
+    return realtime_rollup(
+        stored, ev, "1h", watermark=wm, group_cols=("event_type",)
+    ).select(*_ROLLUP_COLS)
 
 
 def q_gapfill_1h(spark, sf_dir):
@@ -1337,6 +1362,22 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(embs, threshold=0.4, n_cells=8, sample=512)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.py:pq_train_codebooks /
+    pq_topk — Jégou et al. 2011): 8 blocks × 16 codewords trained on the
+    pinned md5 sample, codes via one Arrow matmul per block, ADC scan =
+    flat JVM chain of literal-LUT lookups (no vector reads), round-6
+    shortlist of 50, exact-cosine re-rank to top-10. Oracle rebuilds the
+    codebooks and mirrors every stage in SQL."""
+    from rasusa_spark.operators.similarity import pq_topk, pq_train_codebooks
+
+    embs = _load(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(
+        embs, n_sub=8, k=16, sample=512, iters=8, seed=7
+    )
+    return pq_topk(embs, [1.0] * 64, books, k=10, shortlist=50)
+
+
 def q_cosine_threshold(spark, sf_dir):
     """Brute-force cosine vs the all-ones probe vector, thresholded (set
     semantics avoid top-k boundary-tie sensitivity)."""
@@ -1495,18 +1536,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": q_rollup_1h,
         "rollup_1d": q_rollup_1d,
         "rollup_rerolled_1d": q_rollup_rerolled_1d,
+        "realtime_rollup_1h": q_realtime_rollup_1h,
         "gapfill_1h": q_gapfill_1h,
         "asof_join": q_asof_join,
         "asof_join_fwd": q_asof_join_fwd,
         "asof_join_nearest": q_asof_join_nearest,
-        "gapfill_locf_1h": q_gapfill_locf_1h,
         "rollup_quantiles_1h": q_rollup_quantiles_1h,
-        "rollup_15m": q_rollup_15m,
-        "gapfill_15m": q_gapfill_15m,
+        # round-6 flagship operators get driver witness (the 15m variants
+        # and the sessions composition moved past the driver's 50-entry
+        # cap — still fully covered by CORRECTNESS_full_r{N})
+        "semantic_dedup": q_semantic_dedup,
+        "mix_corpus": q_mix_corpus,
+        "pq_topk": q_pq_topk,
         "m4_downsample": q_m4_downsample,
         "lttb_downsample": q_lttb_downsample,
         "distinct_rerolled_1d": q_distinct_rerolled_1d,
-        "sessions_per_day": q_sessions_per_day,
         "interarrival_quantiles_1d": q_interarrival_quantiles_1d,
         "cms_user_counts_1d": q_cms_user_counts_1d,
         "event_transitions": q_event_transitions,
@@ -1557,8 +1601,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        "mix_corpus": q_mix_corpus,
+        "rollup_15m": q_rollup_15m,
+        "gapfill_15m": q_gapfill_15m,
+        "gapfill_locf_1h": q_gapfill_locf_1h,
+        "sessions_per_day": q_sessions_per_day,
         "prepare_pipeline": q_prepare_pipeline,
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
@@ -1833,21 +1879,17 @@ def _vec_lit(v) -> str:
     return "[" + ",".join("%.17g" % float(x) for x in v) + "]"
 
 
-def _rebuilt_centroids(
-    n_cells: int = 8, sample: int = 512, seed: int = 7
+def _rebuilt_sample_mat(
+    sample: int = 512, seed: int = 7
 ) -> "np.ndarray | None":
-    """Rebuild the IVF codebook OUTSIDE Spark, bit-identical to
-    ``ivf_build_centroids`` at sf0.01: the training sample is the
-    ``sample`` smallest portable-md5 hashes (signed 64-bit pack — matches
-    Spark's shiftleft|or), and ``kmeans_centroids`` is the same numpy
-    code the Spark trainer calls. Shared by the IVF-topk and
-    semantic-dedup oracles."""
+    """Rebuild the codebook TRAINING SAMPLE outside Spark, bit-identical
+    to ``_md5_threshold_sample`` at sf0.01: the ``sample`` rows with the
+    smallest portable-md5 hashes (signed 64-bit pack — matches Spark's
+    shiftleft|or). Shared by the IVF, semantic-dedup, and PQ oracles."""
     import hashlib
     import os
 
     import duckdb
-
-    from rasusa_spark.operators.similarity import kmeans_centroids
 
     path = f"{_SF001_DIR}/embeddings.parquet"
     if not os.path.exists(path):
@@ -1862,7 +1904,20 @@ def _rebuilt_centroids(
         return h - (1 << 64) if h >= (1 << 63) else h
 
     rows.sort(key=lambda r: (h64(r[0]), r[0]))
-    mat = np.array([r[1] for r in rows[:sample]], dtype=np.float64)
+    return np.array([r[1] for r in rows[:sample]], dtype=np.float64)
+
+
+def _rebuilt_centroids(
+    n_cells: int = 8, sample: int = 512, seed: int = 7
+) -> "np.ndarray | None":
+    """IVF codebook rebuilt outside Spark (``kmeans_centroids`` over the
+    rebuilt sample — the same numpy code the Spark trainer calls, so the
+    literals are BIT-IDENTICAL to ``ivf_build_centroids`` at sf0.01)."""
+    from rasusa_spark.operators.similarity import kmeans_centroids
+
+    mat = _rebuilt_sample_mat(sample, seed)
+    if mat is None:
+        return None
     return kmeans_centroids(mat, n_cells=n_cells, iters=8, seed=seed)
 
 
@@ -1948,6 +2003,49 @@ c AS (SELECT t.*, dim.b,
       FROM t JOIN dim USING (lang))
 SELECT doc_id, lang FROM c WHERE prev < b
 """
+
+
+def _pq_oracle_sql() -> str | None:
+    """Full DuckDB oracle for q_pq_topk: codebooks rebuilt outside Spark
+    (same md5 sample, same per-block numpy k-means with seed+m), then the
+    WHOLE search mirrored in SQL — per-block first-max inner-product codes
+    over list slices, the ADC score as the SAME left-associated chain of
+    literal-LUT lookups (term order bit-for-bit), round-6 + (adc DESC,
+    vec_id) shortlist, exact-cosine re-rank. Proves encoding, the ADC
+    algebra, and both ranking stages cross-engine."""
+    from rasusa_spark.operators.similarity import kmeans_centroids
+
+    mat = _rebuilt_sample_mat(sample=512, seed=7)
+    if mat is None:
+        return None
+    n_sub, k_codes = 8, 16
+    d = mat.shape[1] // n_sub
+    books = np.stack(
+        [
+            kmeans_centroids(mat[:, m * d : (m + 1) * d], k_codes, 8, 7 + m)
+            for m in range(n_sub)
+        ]
+    )
+    q = np.ones(64, dtype=np.float64)
+    code_exprs, adc_terms = [], []
+    for m in range(n_sub):
+        sl = f"list_slice(embedding::DOUBLE[], {m * d + 1}, {(m + 1) * d})"
+        sims = "[" + ",".join(
+            f"list_inner_product({sl}, {_vec_lit(c)})" for c in books[m]
+        ) + "]"
+        code_exprs.append(
+            f"list_position({sims}, list_max({sims})) AS c{m}"
+        )
+        lut = books[m] @ q[m * d : (m + 1) * d]
+        adc_terms.append(f"({_vec_lit(lut)})[c{m}]")
+    ones = ",".join(["1.0"] * 64)
+    return f"""
+WITH coded AS (SELECT vec_id, embedding, {",".join(code_exprs)} FROM embeddings),
+short AS (SELECT vec_id, embedding,
+    round({" + ".join(adc_terms)}, 6) AS adc
+  FROM coded ORDER BY adc DESC, vec_id LIMIT 50)
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], [{ones}]), 6) AS cosine
+FROM short ORDER BY cosine DESC, vec_id LIMIT 10"""
 
 
 def _lsh_oracle_sql() -> str:
@@ -2093,6 +2191,9 @@ SELECT l_orderkey, l_linenumber, l_returnflag FROM c WHERE prev < 50000
         "rollup_1h": _ROLLUP_SQL.format(ev=_EV_CENTS, unit="hour"),
         "rollup_1d": _ROLLUP_SQL.format(ev=_EV_CENTS, unit="day"),
         "rollup_rerolled_1d": _ROLLUP_SQL.format(ev=_EV_CENTS, unit="day"),
+        # realtime view == the direct full rollup (stored/live split must
+        # cover every bucket exactly once)
+        "realtime_rollup_1h": _ROLLUP_SQL.format(ev=_EV_CENTS, unit="hour"),
         "salted_rollup_1d": _ROLLUP_SQL.format(ev=_EV_CENTS, unit="day"),
         "gapfill_1h": f"""
 WITH ev AS (SELECT * FROM ({_EV_CENTS}) WHERE event_type = 'click'),
@@ -3057,4 +3158,9 @@ FROM events GROUP BY 1
             else {}
         ),
         "mix_corpus": _mix_oracle_sql(),
+        **(
+            {"pq_topk": pq}
+            if (pq := _pq_oracle_sql()) is not None
+            else {}
+        ),
     }

@@ -76,6 +76,62 @@ def rollup_from_finer(
     )
 
 
+def realtime_rollup(
+    stored: DataFrame,
+    raw: DataFrame,
+    tier: str,
+    *,
+    watermark: str,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] | list[str] = ("source",),
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Real-time continuous aggregate (TimescaleDB public semantics): the
+    MATERIALIZED tier serves every bucket strictly before the
+    materialization watermark, and the not-yet-materialized raw tail
+    (``ts >= watermark``) is aggregated live and unioned on — so the view
+    is always complete and current without re-aggregating history.
+
+    The watermark must be bucket-aligned for the tier; a misaligned
+    watermark would split one bucket across the stored and live halves
+    and double-count it, so this REFUSES instead (the same alignment
+    discipline as tier retention, plans/retention.py). Stored gap-filled
+    rows are excluded — the caller gap-fills the unioned view if needed.
+
+    100-TB shape: the stored side is an aggregate-table scan with a
+    partition-prunable ``bucket_start < wm`` predicate; the live side is
+    ONE combinable groupBy over only the raw rows after the watermark —
+    with time-partitioned raw storage both scans prune to their own side
+    of the boundary."""
+    from datetime import datetime
+
+    wm_dt = datetime.fromisoformat(watermark)
+    unit = TIERS[tier]
+    aligned = {
+        "minute": wm_dt.replace(second=0, microsecond=0),
+        "hour": wm_dt.replace(minute=0, second=0, microsecond=0),
+        "day": wm_dt.replace(hour=0, minute=0, second=0, microsecond=0),
+    }[unit]
+    if aligned != wm_dt:
+        raise ValueError(
+            f"watermark {watermark!r} is not {unit}-aligned for tier "
+            f"{tier!r} — a split bucket would double-count; pass "
+            f"{aligned.isoformat(sep=' ')}"
+        )
+    wm = F.to_timestamp(F.lit(watermark))
+    stored_half = stored.where(
+        (F.col("bucket_start") < wm) & (~F.col("gap_filled"))
+    )
+    live = rollup(
+        raw.where(F.col(ts_col) >= wm),
+        tier,
+        ts_col=ts_col,
+        group_cols=group_cols,
+        value_col=value_col,
+    )
+    return stored_half.unionByName(live.select(*stored_half.columns))
+
+
 def gap_fill(
     agg: DataFrame,
     tier: str,

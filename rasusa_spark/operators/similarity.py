@@ -201,6 +201,17 @@ def ivf_build_centroids(
     reproducible outside Spark (hashlib/DuckDB md5), which lets the driver
     oracle rebuild the exact centroids (VERDICT r3 #2). orderBy+limit
     compiles to TakeOrdered — per-partition heap, no global sort."""
+    mat = _md5_threshold_sample(df, sample, seed, vec_col, id_col)
+    return kmeans_centroids(mat, n_cells, iters, seed)
+
+
+def _md5_threshold_sample(
+    df: DataFrame, sample: int, seed: int, vec_col: str, id_col: str
+) -> np.ndarray:
+    """The ``sample`` rows with the smallest portable 64-bit md5 hash of
+    ``"{id}:{seed}"`` — layout-invariant AND reproducible outside Spark
+    (shared by the IVF and PQ codebook trainers and their driver-side
+    oracle generators)."""
     key = F.concat(F.col(id_col).cast("string"), F.lit(f":{int(seed)}"))
     h = F.shiftleft(
         F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long"), 32
@@ -212,8 +223,7 @@ def ivf_build_centroids(
         .select("_h", vec_col)
         .collect()
     )
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    return kmeans_centroids(mat, n_cells, iters, seed)
+    return np.array([r[1] for r in rows], dtype=np.float64)
 
 
 def kmeans_centroids(
@@ -406,6 +416,164 @@ def semantic_dedup(
         .select("id_a", "id_b")
     )
     return dedup_clusters(df, pairs, id_col=id_col)
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    n_sub: int = 8,
+    k: int = 16,
+    sample: int = 512,
+    iters: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, TPAMI — public):
+    split the vector into ``n_sub`` contiguous blocks and k-means each
+    block independently on the same bounded md5-threshold sample the IVF
+    trainer uses (layout-invariant, reproducible outside Spark — the
+    oracle rebuilds identical codebooks). Returns (n_sub, k, dim/n_sub).
+
+    Codewords are unit-normalized per block (``kmeans_centroids``), so the
+    ADC score below approximates the DIRECTION of the dot product —
+    cosine-flavored PQ. That is the retrieval contract here (shortlist by
+    ADC, exact-cosine re-rank); it is not a reconstruction-MSE quantizer."""
+    mat = _md5_threshold_sample(df, sample, seed, vec_col, id_col)
+    dim = mat.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d = dim // n_sub
+    return np.stack(
+        [
+            kmeans_centroids(mat[:, m * d : (m + 1) * d], k, iters, seed + m)
+            for m in range(n_sub)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Distributed PQ encoding: per Arrow batch, one matmul per block;
+    ``code_col`` is an array<int> of length n_sub (argmax inner product —
+    scale-invariant, so raw subvectors need no normalization). At 100 TB
+    the codes column is what the table stores: dim × 4 bytes of floats
+    become n_sub × ~1 byte, and the ADC scan below never touches the
+    original vectors."""
+    books = codebooks
+    n_sub, _, d = books.shape
+
+    @F.pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        out = np.empty((mat.shape[0], n_sub), dtype=np.int32)
+        for m in range(n_sub):
+            out[:, m] = (mat[:, m * d : (m + 1) * d] @ books[m].T).argmax(1)
+        return pd.Series(list(out))
+
+    return df.withColumn(code_col, codes(F.col(vec_col)))
+
+
+def pq_topk(
+    df: DataFrame,
+    query: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ search: asymmetric-distance (ADC) shortlist + exact re-rank.
+    The query is NOT quantized — per block a lookup table
+    ``lut[m][j] = q_m · c_{m,j}`` ships as literals, and the per-row ADC
+    score is a FLAT JVM sum of n_sub literal-array lookups over the codes
+    column (whole-stage codegen; zero Python, zero float-vector reads in
+    the scan). TakeOrdered keeps the ``shortlist`` best ADC rows, then the
+    exact cosine re-ranks just those (the standard IVFADC refine step).
+    The ADC sum is a left-associated chain and rounded to 6 decimals
+    before ordering, so the shortlist SET is reproducible cross-engine
+    (the DuckDB oracle mirrors term order bit-for-bit)."""
+    books = codebooks
+    n_sub, _, d = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    if q.shape[0] != n_sub * d:
+        raise ValueError(f"query dim {q.shape[0]} != {n_sub * d}")
+    lut = np.stack([books[m] @ q[m * d : (m + 1) * d] for m in range(n_sub)])
+
+    encoded = pq_encode(df, books, vec_col)
+    adc = None
+    for m in range(n_sub):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut[m]]),
+            F.element_at(F.col("pq_codes"), m + 1) + F.lit(1),
+        )
+        adc = term if adc is None else adc + term
+    short = (
+        encoded.select(id_col, vec_col, F.round(adc, 6).alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    return cosine_topk(short, query, k, vec_col, id_col)
+
+
+def write_pq_encoded(
+    df: DataFrame,
+    location: str,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the PQ codes table — (id, pq_codes) ONLY. This is the
+    100-TB storage posture the in-memory ``pq_topk`` docstring promises:
+    the ADC scan reads n_sub small ints per row instead of dim floats
+    (~32× less I/O at 64-d float32 → 8 codes), and the float vectors stay
+    in the original table, touched only for the ~shortlist-sized
+    re-rank."""
+    pq_encode(df, codebooks, vec_col).select(id_col, "pq_codes").write.mode(
+        "overwrite"
+    ).parquet(location)
+
+
+def pq_topk_stored(
+    spark,
+    location: str,
+    vectors: DataFrame,
+    query: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ search over a pre-encoded codes table: the ADC shortlist scans
+    ONLY (id, pq_codes) — the plan's ReadSchema must not contain the
+    vector column (PLANS.md carries the evidence) — then the tiny
+    shortlist joins back to the vector table for the exact-cosine
+    re-rank (a broadcast join of ≤``shortlist`` rows). Identical results
+    to ``pq_topk`` on the same codebooks by construction: same codes,
+    same ADC chain, same round-6 tie discipline, same re-rank."""
+    books = codebooks
+    n_sub, _, d = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    lut = np.stack([books[m] @ q[m * d : (m + 1) * d] for m in range(n_sub)])
+    coded = spark.read.parquet(location)
+    adc = None
+    for m in range(n_sub):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut[m]]),
+            F.element_at(F.col("pq_codes"), m + 1) + F.lit(1),
+        )
+        adc = term if adc is None else adc + term
+    short = (
+        coded.select(id_col, F.round(adc, 6).alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    cand = vectors.join(F.broadcast(short.select(id_col)), on=id_col)
+    return cosine_topk(cand, query, k, vec_col, id_col)
 
 
 def embedding_near_duplicates(

@@ -41,6 +41,34 @@ def test_rerollup_1h_from_raw_tier(spark, raw5k):
     assert _sorted_rows(h1_from_raw) == _sorted_rows(h1_direct)
 
 
+def test_realtime_rollup_equals_direct(spark, raw5k):
+    """Real-time continuous aggregate: materialized-before-watermark ∪
+    live-tail must equal the direct rollup of all raw rows exactly — no
+    gap, no double-count at the hour boundary (rows at ts == watermark go
+    to the live side only)."""
+    from rasusa_spark.operators.rollup import realtime_rollup
+
+    wm = "2026-01-08 00:00:00"
+    stored = rollup(raw5k.where(F.col("ts") < F.to_timestamp(F.lit(wm))), "1h")
+    view = realtime_rollup(stored, raw5k, "1h", watermark=wm)
+    assert _sorted_rows(view) == _sorted_rows(rollup(raw5k, "1h"))
+    # stored/live halves are disjoint in bucket space
+    n_total = view.count()
+    assert n_total == view.select("source", "bucket_start").distinct().count()
+
+
+def test_realtime_rollup_refuses_misaligned_watermark(spark, raw5k):
+    from rasusa_spark.operators.rollup import realtime_rollup
+
+    stored = rollup(raw5k, "1h")
+    with pytest.raises(ValueError, match="not hour-aligned"):
+        realtime_rollup(stored, raw5k, "1h", watermark="2026-01-08 00:30:00")
+    with pytest.raises(ValueError, match="not day-aligned"):
+        realtime_rollup(
+            rollup(raw5k, "1d"), raw5k, "1d", watermark="2026-01-08 06:00:00"
+        )
+
+
 def test_rollup_totals_match_input(spark, raw5k):
     h1 = rollup(raw5k, "1h")
     agg = h1.agg(F.sum("n_tok_sum"), F.sum("row_count")).collect()[0]
