@@ -576,6 +576,69 @@ def pq_topk_stored(
     return cosine_topk(cand, query, k, vec_col, id_col)
 
 
+def write_ivfadc(
+    df: DataFrame,
+    location: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """IVFADC storage (Jégou et al. 2011, the full recipe): the PQ codes
+    table written PARTITIONED BY the IVF coarse cell — search composes
+    BOTH scale levers: partition pruning skips (n_cells − nprobe)/n_cells
+    of the directories outright, and the surviving scan reads n_sub small
+    ints per row instead of dim floats."""
+    coded = pq_encode(
+        ivf_assign(df, centroids, vec_col), codebooks, vec_col
+    ).select(id_col, "pq_codes", "ivf_cell")
+    coded.write.mode("overwrite").partitionBy("ivf_cell").parquet(location)
+
+
+def ivfadc_topk(
+    spark,
+    location: str,
+    vectors: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC search over the cell-partitioned codes store: probe-cell
+    predicate → PartitionFilters pruning (zero I/O for unprobed cells),
+    ADC shortlist over the pruned codes scan (no vector reads), broadcast
+    join of the shortlist back to the vector table, exact-cosine re-rank.
+    Identical to ``pq_topk_stored`` restricted to the probed cells by
+    construction (same codes, same ADC chain, same tie discipline)."""
+    books = codebooks
+    n_sub, _, d = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = [int(c) for c in (centroids @ qn).argsort()[::-1][:nprobe]]
+    lut = np.stack([books[m] @ q[m * d : (m + 1) * d] for m in range(n_sub)])
+    coded = spark.read.parquet(location).where(
+        F.col("ivf_cell").isin(probe_cells)
+    )
+    adc = None
+    for m in range(n_sub):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut[m]]),
+            F.element_at(F.col("pq_codes"), m + 1) + F.lit(1),
+        )
+        adc = term if adc is None else adc + term
+    short = (
+        coded.select(id_col, F.round(adc, 6).alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    cand = vectors.join(F.broadcast(short.select(id_col)), on=id_col)
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

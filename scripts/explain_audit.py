@@ -431,6 +431,60 @@ def main() -> None:
          grab(ivf_store_topk(spark, ivf_state, [1.0] * dim, nprobe=3)))
     )
 
+    # round-6 operators
+    from rasusa_spark.operators.mix import mix_corpus
+    from rasusa_spark.operators.rollup import realtime_rollup
+    from rasusa_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivfadc_topk,
+        pq_train_codebooks,
+        semantic_dedup,
+        write_ivfadc,
+    )
+    from rasusa_spark.operators.text import token_count
+
+    docs_lang = docs.withColumn("n_tok", token_count(F.col("text")))
+    sections.append(
+        ("domain-mixture resampling (mix_corpus: ONE broadcast budget-dim "
+         "join + the threshold kernel — look for the BroadcastHashJoin on "
+         "the (domain, budget) dim and partial/final HashAggregate pairs, "
+         "no per-domain sort of the corpus)",
+         grab(mix_corpus(docs_lang, {"en": 0.6, "zh": 0.4}, 10_000, seed=0,
+                         domain_col="lang")))
+    )
+
+    stored_1h = rollup(sel, "1h")
+    sections.append(
+        ("real-time continuous aggregate (realtime_rollup: stored tier "
+         "filtered bucket_start < watermark UNION one combinable groupBy "
+         "over only the raw tail ts >= watermark — look for the pushed "
+         "ts filter on the raw-side scan)",
+         grab(realtime_rollup(stored_1h, sel, "1h",
+                              watermark="2026-01-08 00:00:00")))
+    )
+
+    embs6 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sections.append(
+        ("semantic dedup pair stage (within-IVF-cell self-join: the only "
+         "pair work is the equi-join on ivf_cell — no crossJoin of the "
+         "corpus; closure runs over the pair table, not raw)",
+         grab(semantic_dedup(embs6, threshold=0.4, n_cells=8, sample=256)))
+    )
+
+    cents6 = ivf_build_centroids(embs6, n_cells=8, sample=256)
+    books6 = pq_train_codebooks(embs6, n_sub=8, k=16, sample=256)
+    ivfadc_loc = "/tmp/rasusa_plan_audit_ivfadc"
+    write_ivfadc(embs6, ivfadc_loc, cents6, books6)
+    sections.append(
+        ("IVFADC search (cell-partitioned PQ codes store: look for "
+         "PartitionFilters on ivf_cell AND a ReadSchema of only "
+         "(vec_id, pq_codes) — no vector column anywhere in the ADC "
+         "shortlist scan; the exact re-rank joins the tiny shortlist "
+         "back broadcast)",
+         grab(ivfadc_topk(spark, ivfadc_loc, embs6, [1.0] * 64, cents6,
+                          books6, k=5, shortlist=20, nprobe=3)))
+    )
+
     out = ["# PLANS — physical-plan audit (auto-generated by scripts/explain_audit.py)",
            "",
            "What to look for: `ReadSchema` never includes `tokens` on selection",

@@ -1090,6 +1090,51 @@ def test_pq_stored_codes_identity_and_pruned_scan(spark, embs, tmp_path):
     assert "embedding" not in buf.getvalue()
 
 
+def test_ivfadc_composes_pruning_and_codes(spark, embs, tmp_path):
+    """IVFADC = IVF partition pruning × PQ codes: the cell-partitioned
+    codes store search equals the in-memory PQ search restricted to the
+    probed cells, the scan carries a non-empty PartitionFilters on
+    ivf_cell, and the codes table holds no vector column."""
+    import contextlib
+    import io
+    import re
+
+    from rasusa_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build_centroids,
+        ivfadc_topk,
+        pq_topk,
+        pq_train_codebooks,
+        write_ivfadc,
+    )
+
+    cents = ivf_build_centroids(embs, n_cells=8, sample=300, seed=5)
+    books = pq_train_codebooks(embs, n_sub=8, k=16, sample=128, seed=7)
+    loc = str(tmp_path / "ivfadc")
+    write_ivfadc(embs, loc, cents, books)
+    q = [1.0] * 64
+
+    got = ivfadc_topk(
+        spark, loc, embs, q, cents, books, k=10, shortlist=30, nprobe=3
+    )
+    qn = np.ones(64) / 8.0
+    probe = [int(c) for c in (cents @ qn).argsort()[::-1][:3]]
+    in_cells = ivf_assign(embs, cents).where(F.col("ivf_cell").isin(probe))
+    want = pq_topk(in_cells, q, books, k=10, shortlist=30)
+    assert [(r.vec_id, r.cosine) for r in got.collect()] == [
+        (r.vec_id, r.cosine) for r in want.collect()
+    ]
+
+    coded = spark.read.parquet(loc).where(F.col("ivf_cell").isin(probe))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        coded.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "ivf_cell" in m.group(1)
+    assert "embedding" not in spark.read.parquet(loc).columns
+
+
 def test_embedding_near_duplicates_self(spark, embs):
     doubled = embs.limit(40).union(
         embs.limit(40).withColumn("vec_id", F.col("vec_id") + 100000)
