@@ -392,15 +392,22 @@ def semantic_dedup(
     Cosine is rounded to 6 decimals BEFORE the threshold compare (the
     cross-engine discipline the cosine_threshold query pins): the edge
     SET, not just the scores, must agree with the DuckDB oracle."""
-    from .dedup import dedup_clusters
+    from .dedup import _DEDUP_CACHES, dedup_clusters
 
     cents = ivf_build_centroids(
         df, n_cells=n_cells, sample=sample, iters=iters, seed=seed,
         vec_col=vec_col, id_col=id_col,
     )
-    asg = ivf_assign(df, cents, vec_col=vec_col).select(
-        id_col, vec_col, "ivf_cell"
+    # persisted: the self-join consumes asg on BOTH sides — un-materialized,
+    # the scan + assignment UDF would execute twice inside one plan (the
+    # documented shared-subtree trap). Registered for cache_scope()/
+    # release_dedup_caches like the other dedup persists.
+    asg = (
+        ivf_assign(df, cents, vec_col=vec_col)
+        .select(id_col, vec_col, "ivf_cell")
+        .persist()
     )
+    _DEDUP_CACHES.append(asg)
     a = F.col(f"a.{vec_col}")
     b = F.col(f"b.{vec_col}")
     pairs = (
