@@ -156,6 +156,55 @@ def q_realtime_rollup_1h(spark, sf_dir):
     ).select(*_ROLLUP_COLS)
 
 
+def q_holt_winters_1h(spark, sf_dir):
+    """PromQL holt_winters / double_exponential_smoothing per
+    (event_type, 1h bucket) — timeseries.py:holt_winters, sf=0.4 tf=0.3.
+    The oracle replays the exact recurrence as a recursive CTE with the
+    SAME IEEE-double literals (%.17g of the Python-computed factors) and
+    operand order, so the fold is proven step-for-step cross-engine."""
+    from rasusa_spark.operators.timeseries import holt_winters
+
+    ev = _load(spark, sf_dir, "events")
+    return holt_winters(
+        ev, 3600, 0.4, 0.3, series_cols=("event_type",),
+        value_col="value", id_col="event_id",
+    )
+
+
+def _holt_winters_oracle_sql(sf: float = 0.4, tf: float = 0.3) -> str:
+    """Recursive-CTE mirror of the holt_winters fold: base row = the
+    bucket's first two samples (s0=v1, s1=v2, b=v2−v1), each recursion
+    step consumes sample i+1 with the identical trend/level arithmetic,
+    and the answer is the row at i = n."""
+    sf_l, omsf = "%.17g" % sf, "%.17g" % (1.0 - sf)
+    tf_l, omtf = "%.17g" % tf, "%.17g" % (1.0 - tf)
+    tb = _tb_sql(3600)
+    return f"""
+WITH RECURSIVE idx AS (
+  SELECT event_type, {tb} AS bucket_start, value::DOUBLE AS v,
+         row_number() OVER (PARTITION BY event_type, {tb}
+                            ORDER BY ts, event_id) AS i,
+         count(*) OVER (PARTITION BY event_type, {tb}) AS n
+  FROM events),
+base AS (
+  SELECT a.event_type, a.bucket_start, a.n, 2 AS i,
+         a.v AS s0, b.v AS s1, b.v - a.v AS b
+  FROM idx a JOIN idx b ON a.event_type = b.event_type
+    AND a.bucket_start = b.bucket_start AND a.i = 1 AND b.i = 2),
+rec AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT r.event_type, r.bucket_start, r.n, r.i + 1,
+         r.s1 AS s0,
+         {sf_l} * x.v + {omsf} * (r.s1 + ({tf_l} * (r.s1 - r.s0) + {omtf} * r.b)) AS s1,
+         {tf_l} * (r.s1 - r.s0) + {omtf} * r.b AS b
+  FROM rec r JOIN idx x ON x.event_type = r.event_type
+    AND x.bucket_start = r.bucket_start AND x.i = r.i + 1)
+SELECT event_type, bucket_start, round(s1, 6) AS smoothed
+FROM rec WHERE i = n
+"""
+
+
 def q_gapfill_1h(spark, sf_dir):
     ev = _events_cents(spark, sf_dir).where(F.col("event_type") == "click")
     h1 = rollup(ev, "1h", group_cols=("event_type",))
@@ -1551,7 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample": q_m4_downsample,
         "lttb_downsample": q_lttb_downsample,
         "distinct_rerolled_1d": q_distinct_rerolled_1d,
-        "interarrival_quantiles_1d": q_interarrival_quantiles_1d,
+        "holt_winters_1h": q_holt_winters_1h,
         "cms_user_counts_1d": q_cms_user_counts_1d,
         "event_transitions": q_event_transitions,
         "rollup_sliding_1h15m": q_rollup_sliding_1h15m,
@@ -1605,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_15m": q_gapfill_15m,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "sessions_per_day": q_sessions_per_day,
+        "interarrival_quantiles_1d": q_interarrival_quantiles_1d,
         "prepare_pipeline": q_prepare_pipeline,
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
@@ -2630,6 +2680,7 @@ FROM s
 """,
         "prom_rate_1h": _prom_rate_sql(3600),
         "prom_rate_rerolled_1d": _prom_rate_sql(86400),
+        "holt_winters_1h": _holt_winters_oracle_sql(),
         "heavy_hitters_1d": f"""
 WITH c AS (SELECT {_tb_sql(86400)} AS bucket_start, user_id,
                   count(*) AS key_count FROM events GROUP BY 1, 2),

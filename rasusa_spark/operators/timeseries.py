@@ -2197,6 +2197,83 @@ def prom_rate(
     )
 
 
+def holt_winters(
+    df: DataFrame,
+    width_s: int,
+    sf: float,
+    tf: float,
+    *,
+    series_cols: tuple[str, ...] | list[str] = ("source",),
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    id_col: str = "doc_id",
+    origin_s: int = TIME_BUCKET_ORIGIN_S,
+) -> DataFrame:
+    """PromQL ``holt_winters()`` (``double_exponential_smoothing()`` in
+    Prometheus 3.x — the public algorithm, promql/functions.go
+    ``funcHoltWinters``/``calcTrendValue``) per (series, bucket): the
+    smoothed level after folding the bucket's samples in (ts, id) order
+    with smoothing factor ``sf`` and trend factor ``tf``.
+
+    Pinned contract (IEEE doubles, operand order mirrored by the oracle):
+
+    - init from the first two samples: s0 = v₀, s1 = v₁, b = v₁ − v₀
+      (PromQL's first loop iteration reduces to exactly this);
+    - each further sample v: b ← tf·(s1−s0) + (1−tf)·b, then
+      s1' = sf·v + (1−sf)·(s1 + b), s0 ← s1;
+    - emit round-6(s1); buckets with < 2 samples emit nothing (the
+      PromQL guard);
+    - factors must lie in (0, 1) — refused otherwise, like PromQL.
+
+    Scale shape: ONE combinable groupBy collects each bucket's bounded
+    sample array (buckets bound the range vector, same posture as OHLC/
+    LTTB), and the recurrence folds JVM-side with ``F.aggregate`` — no
+    Python, no window over raw, no per-sample shuffle."""
+    if not (0.0 < sf < 1.0) or not (0.0 < tf < 1.0):
+        raise ValueError(
+            f"smoothing/trend factors must be in (0, 1), got sf={sf} tf={tf}"
+        )
+    bucket = time_bucket_expr(width_s, ts_col, origin_s=origin_s)
+    vals = (
+        df.select(
+            *series_cols,
+            bucket.alias("bucket_start"),
+            F.struct(
+                F.col(ts_col).alias("_ts"),
+                F.col(id_col).alias("_id"),
+                F.col(value_col).cast("double").alias("_v"),
+            ).alias("_s"),
+        )
+        .groupBy(*series_cols, "bucket_start")
+        .agg(F.array_sort(F.collect_list("_s")).alias("_arr"))
+        .withColumn("_vs", F.transform("_arr", lambda s: s["_v"]))
+    )
+    n = F.size("_vs")
+    v0 = F.element_at("_vs", 1)
+    v1 = F.element_at("_vs", 2)
+    init = F.struct(
+        v0.alias("s0"), v1.alias("s1"), (v1 - v0).alias("b")
+    )
+
+    def step(acc, v):
+        b2 = F.lit(float(tf)) * (acc["s1"] - acc["s0"]) + F.lit(
+            1.0 - float(tf)
+        ) * acc["b"]
+        s1n = F.lit(float(sf)) * v + F.lit(1.0 - float(sf)) * (acc["s1"] + b2)
+        return F.struct(
+            acc["s1"].alias("s0"), s1n.alias("s1"), b2.alias("b")
+        )
+
+    folded = F.aggregate(
+        F.slice("_vs", 3, F.greatest(n - 2, F.lit(0))), init, step
+    )
+    return (
+        vals.where(n >= 2)
+        .withColumn("smoothed", F.round(folded["s1"], 6))
+        .select(*series_cols, "bucket_start", "smoothed")
+    )
+
+
 def rate_partials(
     df: DataFrame,
     width_s: int,

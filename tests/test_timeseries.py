@@ -1622,3 +1622,52 @@ def test_twa_fold_refuses_interleaved_parts(spark):
     b = twa_partials(raw.where(F.col("row_idx") % 2 == 1), 86400)
     with pytest.raises(Exception, match="overlap"):
         twa_fold(a.unionByName(b), ["source"]).collect()
+
+
+def test_holt_winters_matches_python_mirror(spark):
+    """holt_winters fold vs an independent Python replay of the PromQL
+    recurrence (funcHoltWinters/calcTrendValue) on a hand-built series,
+    plus the <2-sample guard, factor validation, and layout invariance."""
+    from rasusa_spark.operators.timeseries import holt_winters
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    vals_a = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0, 13.0]
+    for i, v in enumerate(vals_a):
+        rows.append(("a", t0 + dt.timedelta(minutes=7 * i), i, v))
+    rows.append(("b", t0 + dt.timedelta(minutes=3), 100, 5.0))  # 1 sample
+    rows.append(("c", t0 + dt.timedelta(minutes=1), 200, 2.0))
+    rows.append(("c", t0 + dt.timedelta(minutes=2), 201, 9.0))  # exactly 2
+    df = spark.createDataFrame(rows, "source string, ts timestamp, "
+                                     "doc_id long, value double")
+
+    sf, tf = 0.4, 0.3
+
+    def mirror(vals):
+        s0, s1, b = vals[0], vals[1], vals[1] - vals[0]
+        for v in vals[2:]:
+            b = tf * (s1 - s0) + (1.0 - tf) * b
+            s1, s0 = sf * v + (1.0 - sf) * (s1 + b), s1
+        return round(s1, 6)
+
+    got = {
+        r.source: r.smoothed
+        for r in holt_winters(
+            df, 3600, sf, tf, value_col="value"
+        ).collect()
+    }
+    assert got == {"a": mirror(vals_a), "c": mirror([2.0, 9.0])}
+    assert "b" not in got  # < 2 samples emits nothing (PromQL guard)
+
+    relaid = {
+        r.source: r.smoothed
+        for r in holt_winters(
+            df.repartition(5), 3600, sf, tf, value_col="value"
+        ).collect()
+    }
+    assert relaid == got
+
+    with pytest.raises(ValueError, match=r"in \(0, 1\)"):
+        holt_winters(df, 3600, 1.0, 0.3, value_col="value")
+    with pytest.raises(ValueError, match=r"in \(0, 1\)"):
+        holt_winters(df, 3600, 0.4, 0.0, value_col="value")
