@@ -1397,6 +1397,53 @@ def q_mix_corpus(spark, sf_dir):
     return kept.select("doc_id", "lang")
 
 
+def q_dsir_scores(spark, sf_dir):
+    """DSIR importance-resampling scores (operators/dsir.py, Xie et al.
+    2023): every document scored by the hashed unigram+bigram
+    log-likelihood ratio of the English-labeled slice (target) vs the
+    whole corpus (raw), quantized to exact int64 micro-nats so the score
+    is order-free and hash-stable. The oracle rebuilds features, buckets,
+    smoothed weights, and the integer dot product in SQL."""
+    from rasusa_spark.operators.dsir import dsir_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    return dsir_scores(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=10_000
+    )
+
+
+_DSIR_ORACLE_SQL = r"""
+WITH w AS (SELECT doc_id, lang,
+        list_filter(string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' '), x -> x <> '') AS w
+        FROM documents),
+feats AS (
+  SELECT doc_id, lang, unnest(w) AS f FROM w
+  UNION ALL
+  SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS f
+  FROM w, LATERAL UNNEST(generate_series(1, len(w)-1)) AS t(i)
+  WHERE len(w) >= 2),
+b AS (SELECT doc_id, lang,
+        CAST(CAST('0x' || substr(md5(f), 1, 8) AS UBIGINT) AS BIGINT)
+          % 10000 AS bucket
+      FROM feats),
+tc AS (SELECT bucket, count(*) AS nt FROM b WHERE lang = 'en' GROUP BY 1),
+rc AS (SELECT bucket, count(*) AS nr FROM b GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM b WHERE lang = 'en') AS t_tot,
+               (SELECT count(*) FROM b) AS r_tot),
+dim AS (SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+        CAST(round((ln((coalesce(nt, 0) + 1) / CAST(t_tot + 10000 AS DOUBLE))
+                  - ln((coalesce(nr, 0) + 1) / CAST(r_tot + 10000 AS DOUBLE)))
+                   * 1000000.0) AS BIGINT) AS w_micro
+        FROM tc FULL JOIN rc ON tc.bucket = rc.bucket, tot),
+pb AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+sc AS (SELECT pb.doc_id, CAST(sum(n * w_micro) AS BIGINT) AS dsir_score
+       FROM pb JOIN dim USING (bucket) GROUP BY 1)
+SELECT d.doc_id AS doc_id, coalesce(sc.dsir_score, 0) AS dsir_score
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (similarity.py:semantic_dedup,
     Abbas et al. 2023): IVF-cell partition → within-cell cosine pairs
@@ -1597,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "mix_corpus": q_mix_corpus,
         "pq_topk": q_pq_topk,
+        "dsir_scores": q_dsir_scores,
         "m4_downsample": q_m4_downsample,
         "lttb_downsample": q_lttb_downsample,
         "distinct_rerolled_1d": q_distinct_rerolled_1d,
@@ -1606,7 +1654,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_sliding_1h15m": q_rollup_sliding_1h15m,
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
-        "rollup_anomaly_1h": q_rollup_anomaly_1h,
         "sessionize": q_sessionize,
         "counter_increase_1d": q_counter_increase_1d,
         "time_weighted_avg_1h": q_time_weighted_avg_1h,
@@ -1655,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "sessions_per_day": q_sessions_per_day,
         "interarrival_quantiles_1d": q_interarrival_quantiles_1d,
+        "rollup_anomaly_1h": q_rollup_anomaly_1h,
         "prepare_pipeline": q_prepare_pipeline,
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
@@ -3209,6 +3257,7 @@ FROM events GROUP BY 1
             else {}
         ),
         "mix_corpus": _mix_oracle_sql(),
+        "dsir_scores": _DSIR_ORACLE_SQL,
         **(
             {"pq_topk": pq}
             if (pq := _pq_oracle_sql()) is not None

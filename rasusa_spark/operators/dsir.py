@@ -1,0 +1,137 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169 — public): score every raw document by the hashed-n-gram
+log-likelihood ratio between a TARGET corpus (the distribution you want
+more of) and the RAW corpus, so downstream selection (top-k, hash-threshold
+resampling, ``mix_corpus``) can tilt the training mixture toward the
+target.
+
+Feature model (the paper's recipe): lowercase whitespace unigrams +
+bigrams, hashed into ``n_buckets`` buckets; bucket unigram+bigram counts
+define two multinomials (add-1 smoothed), and a document's score is
+Σ_features [log p_target(b) − log p_raw(b)].
+
+Engine discipline:
+
+- the bucket hash is the portable 32-bit md5 slice mod n_buckets (the
+  repo's cross-engine hash family — the DuckDB oracle reproduces every
+  bucket id bit-for-bit);
+- per-bucket weights are QUANTIZED to integer micro-nats
+  (``round(w · 1e6)``, half-away — the engine's rounding contract), so a
+  document's score is an exact int64 dot product Σ n_b · w_int[b]:
+  order-free, hash-stable across engines and partitionings (a raw double
+  sum would depend on Spark's nondeterministic partial-agg order);
+- both engines derive the weights from the same integer counts with the
+  same IEEE ops (ln of identical doubles), so the quantized weights agree
+  except on exact .5-micro-nat boundaries (measure-zero for ln outputs).
+
+100-TB shape: target counts are ONE combinable groupBy over the (usually
+small) target corpus; raw counts ONE combinable groupBy over raw; the
+weight dim is bounded by ``n_buckets`` and broadcast into the per-doc
+scoring join; per-doc scores are one more combinable groupBy. No windows,
+no corpus-wide joins, no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _feature_col(text_col: str):
+    """Array of unigram + bigram features of the lowercased
+    whitespace-split text (empty tokens dropped; bigrams joined with one
+    space — the dedup shingle discipline, so the oracle's
+    ``w[i] || ' ' || w[i+1]`` mirrors it exactly)."""
+    wa = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    n = F.size(wa)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat(
+                F.element_at(wa, i + 1), F.lit(" "), F.element_at(wa, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(wa, bigrams)
+
+
+def _bucket_col(feat, n_buckets: int):
+    """Portable bucket id: first 8 md5 hex chars as a 32-bit int, mod
+    n_buckets (non-negative — the 32-bit value is always < 2^32)."""
+    return (
+        F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("long")
+        % F.lit(int(n_buckets))
+    ).alias("bucket")
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level hashed-feature bucket counts: (bucket, n) — one
+    combinable groupBy over the exploded features."""
+    feats = df.select(
+        F.explode(_feature_col(text_col)).alias("_f")
+    ).select(_bucket_col(F.col("_f"), n_buckets))
+    return feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-raw-document importance score: (id, dsir_score) where
+    ``dsir_score`` is the exact int64 sum of per-feature quantized
+    log-ratio weights (micro-nats; divide by 1e6 for nats). Higher =
+    more target-like. Documents with no features score 0."""
+    t_counts = dsir_bucket_counts(target, n_buckets, text_col)
+    r_counts = dsir_bucket_counts(raw, n_buckets, text_col)
+    t_tot = t_counts.agg(F.sum("n")).collect()[0][0] or 0
+    r_tot = r_counts.agg(F.sum("n")).collect()[0][0] or 0
+    denom_t = float(t_tot + n_buckets)
+    denom_r = float(r_tot + n_buckets)
+
+    # bounded weight dim (≤ n_buckets rows): add-1 smoothed log ratio,
+    # quantized to integer micro-nats (round half-away, both engines)
+    dim = (
+        t_counts.withColumnRenamed("n", "_nt")
+        .join(r_counts.withColumnRenamed("n", "_nr"), on="bucket", how="full")
+        .na.fill(0, ["_nt", "_nr"])
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log((F.col("_nt") + 1).cast("double") / F.lit(denom_t))
+                    - F.log((F.col("_nr") + 1).cast("double") / F.lit(denom_r))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+
+    doc_feats = raw.select(
+        F.col(id_col), F.explode(_feature_col(text_col)).alias("_f")
+    ).select(id_col, _bucket_col(F.col("_f"), n_buckets))
+    per_bucket = doc_feats.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    scored = (
+        per_bucket.join(F.broadcast(dim), on="bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_n") * F.col("w_micro")).alias("dsir_score"))
+    )
+    return (
+        raw.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .na.fill(0, ["dsir_score"])
+    )

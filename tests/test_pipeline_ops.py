@@ -1135,6 +1135,78 @@ def test_ivfadc_composes_pruning_and_codes(spark, embs, tmp_path):
     assert "embedding" not in spark.read.parquet(loc).columns
 
 
+def test_dsir_scores_match_python_mirror(spark, docs):
+    """DSIR (Xie et al. 2023) against a pure-Python mirror: same md5
+    bucket hashing, add-1 smoothed log-ratio weights quantized half-away
+    to micro-nats, exact int64 dot product — full 500-doc score equality
+    plus layout invariance."""
+    import hashlib
+    import math
+
+    from rasusa_spark.operators.dsir import dsir_scores
+
+    B = 10_000
+    rows = docs.select("doc_id", "text", "lang").collect()
+
+    def feats(text):
+        ws = [w for w in text.strip().lower().split() if w]
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+
+    tc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    per_doc: dict[int, dict[int, int]] = {}
+    for r in rows:
+        d = per_doc.setdefault(r.doc_id, {})
+        for f in feats(r.text):
+            bk = bucket(f)
+            d[bk] = d.get(bk, 0) + 1
+            rc[bk] = rc.get(bk, 0) + 1
+            if r.lang == "en":
+                tc[bk] = tc.get(bk, 0) + 1
+    t_tot, r_tot = sum(tc.values()), sum(rc.values())
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    w = {
+        bk: half_away(
+            (
+                math.log((tc.get(bk, 0) + 1) / float(t_tot + B))
+                - math.log((rc.get(bk, 0) + 1) / float(r_tot + B))
+            )
+            * 1_000_000.0
+        )
+        for bk in rc
+    }
+    expected = {
+        did: sum(n * w[bk] for bk, n in d.items()) for did, d in per_doc.items()
+    }
+
+    got = {
+        r.doc_id: r.dsir_score
+        for r in dsir_scores(
+            docs, docs.where(F.col("lang") == "en"), n_buckets=B
+        ).collect()
+    }
+    assert got == expected
+    # the synthetic lang labels are noise (CLAUDE.md), so no directional
+    # claim — just require a non-degenerate spread
+    assert len(set(got.values())) > 10
+
+    relaid = {
+        r.doc_id: r.dsir_score
+        for r in dsir_scores(
+            docs.repartition(7),
+            docs.where(F.col("lang") == "en").repartition(3),
+            n_buckets=B,
+        ).collect()
+    }
+    assert relaid == expected
+
+
 def test_embedding_near_duplicates_self(spark, embs):
     doubled = embs.limit(40).union(
         embs.limit(40).withColumn("vec_id", F.col("vec_id") + 100000)
