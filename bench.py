@@ -66,6 +66,11 @@ HEADLINE = [
     "state_durations_1h",
     "prom_rate_1h",
     "semantic_dedup",
+    "mix_corpus",
+    "pq_topk",
+    "dsir_scores",
+    "realtime_rollup_1h",
+    "holt_winters_1h",
 ]
 
 

@@ -37,26 +37,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _feature_col(text_col: str):
-    """Array of unigram + bigram features of the lowercased
-    whitespace-split text (empty tokens dropped; bigrams joined with one
-    space — the dedup shingle discipline, so the oracle's
-    ``w[i] || ' ' || w[i+1]`` mirrors it exactly)."""
+def _exploded_features(df: DataFrame, text_col: str, *keep_cols: str):
+    """(keep_cols..., _f) — one row per unigram + bigram feature of the
+    lowercased whitespace-split text (empty tokens dropped; bigrams
+    joined with one space — the dedup shingle discipline, so the oracle's
+    ``w[i] || ' ' || w[i+1]`` mirrors it exactly).
+
+    The word array is MATERIALIZED as a column before the bigram
+    ``zip_with`` — referencing the split expression itself inside a
+    higher-order-function lambda re-evaluates the whole
+    ``filter(split(lower(trim(text))))`` per element (no common-
+    subexpression elimination inside HOF lambdas → O(words²) per doc;
+    measured 7.8 s vs 0.3 s for the sf0.1 explode)."""
     wa = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda x: x != "",
     )
-    n = F.size(wa)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat(
-                F.element_at(wa, i + 1), F.lit(" "), F.element_at(wa, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(wa, bigrams)
+    with_wa = df.withColumn("_wa", wa)
+    n = F.size("_wa")
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("_wa", 1, m),
+        F.slice(F.col("_wa"), F.lit(2), m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return with_wa.select(
+        *keep_cols, F.explode(F.concat(F.col("_wa"), bigrams)).alias("_f")
+    )
 
 
 def _bucket_col(feat, n_buckets: int):
@@ -75,9 +82,9 @@ def dsir_bucket_counts(
 ) -> DataFrame:
     """Corpus-level hashed-feature bucket counts: (bucket, n) — one
     combinable groupBy over the exploded features."""
-    feats = df.select(
-        F.explode(_feature_col(text_col)).alias("_f")
-    ).select(_bucket_col(F.col("_f"), n_buckets))
+    feats = _exploded_features(df, text_col).select(
+        _bucket_col(F.col("_f"), n_buckets)
+    )
     return feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -92,8 +99,25 @@ def dsir_scores(
     ``dsir_score`` is the exact int64 sum of per-feature quantized
     log-ratio weights (micro-nats; divide by 1e6 for nats). Higher =
     more target-like. Documents with no features score 0."""
-    t_counts = dsir_bucket_counts(target, n_buckets, text_col)
-    r_counts = dsir_bucket_counts(raw, n_buckets, text_col)
+    from .dedup import _DEDUP_CACHES
+
+    # ONE feature explosion over each corpus: the per-(doc, bucket) table
+    # is persisted (registered with the dedup cache registry —
+    # cache_scope()/release_dedup_caches) and feeds the raw counts, the
+    # total, AND the scoring join; without it the totals' collect()s and
+    # the weight dim would each re-execute the explode+md5 lineage.
+    doc_feats = _exploded_features(raw, text_col, id_col).select(
+        id_col, _bucket_col(F.col("_f"), n_buckets)
+    )
+    per_bucket = (
+        doc_feats.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .persist()
+    )
+    _DEDUP_CACHES.append(per_bucket)
+    t_counts = dsir_bucket_counts(target, n_buckets, text_col).persist()
+    _DEDUP_CACHES.append(t_counts)
+    r_counts = per_bucket.groupBy("bucket").agg(F.sum("_n").alias("n"))
     t_tot = t_counts.agg(F.sum("n")).collect()[0][0] or 0
     r_tot = r_counts.agg(F.sum("n")).collect()[0][0] or 0
     denom_t = float(t_tot + n_buckets)
@@ -119,12 +143,6 @@ def dsir_scores(
         )
     )
 
-    doc_feats = raw.select(
-        F.col(id_col), F.explode(_feature_col(text_col)).alias("_f")
-    ).select(id_col, _bucket_col(F.col("_f"), n_buckets))
-    per_bucket = doc_feats.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
     scored = (
         per_bucket.join(F.broadcast(dim), on="bucket")
         .groupBy(id_col)

@@ -485,6 +485,26 @@ def main() -> None:
                           books6, k=5, shortlist=20, nprobe=3)))
     )
 
+    from rasusa_spark.operators.dsir import dsir_scores
+    from rasusa_spark.operators.timeseries import holt_winters
+
+    sections.append(
+        ("DSIR importance scores (target bucket counts broadcast into the "
+         "per-doc scoring join; two combinable HashAggregate pairs over "
+         "the exploded features, one over (doc, bucket) — no windows, no "
+         "Python, integer dot-product aggregate)",
+         grab(dsir_scores(docs, docs.limit(40), n_buckets=1000)))
+    )
+    sections.append(
+        ("holt_winters (PromQL double exponential smoothing: ONE "
+         "combinable groupBy collecting each bucket's bounded sample "
+         "array, the recurrence folded JVM-side — no window over raw, "
+         "no Python)",
+         grab(holt_winters(sel.withColumn("value", F.col("n_tok")
+                                          .cast("double")),
+                           3600, 0.4, 0.3, value_col="value")))
+    )
+
     out = ["# PLANS — physical-plan audit (auto-generated by scripts/explain_audit.py)",
            "",
            "What to look for: `ReadSchema` never includes `tokens` on selection",
