@@ -71,10 +71,13 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("_nb"))
         )
+        # the pre-round label rides along as _old so convergence needs no
+        # extra new-vs-old join (one fewer shuffle join per round)
         stepped = (
             labels.join(nb_min, labels.node == nb_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce("_nb", "label")).alias("label"),
             )
         )
@@ -84,17 +87,17 @@ def connected_components(
             stepped.join(hop, stepped.label == hop._ln, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("_ll", "label")).alias("label"),
+                (
+                    F.least(F.col("label"), F.coalesce("_ll", "label"))
+                ).alias("label"),
+                F.col("_old"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage EVERY round
+            # truncate lineage EVERY round; lazy so the convergence count
+            # below is the single materializing action of the round
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             if stats is not None:
                 stats["rounds"] = round_no
