@@ -76,6 +76,42 @@ def test_prefix_filter_equals_naive_jaccard(spark, docs):
         assert a == b, f"threshold {t}: prefix-filtered != naive"
 
 
+def test_block_sparse_equals_naive_jaccard(spark, docs):
+    """The r7 block-sparse kernel (default routing at t < 0.5) must return
+    the IDENTICAL pair set as both reference paths — it is exact counting,
+    not an approximation."""
+    from rasusa_spark.operators.dedup import _jaccard_block_sparse
+
+    for t in (0.2, 0.3, 0.45):
+        fast = _jaccard_block_sparse(docs, 3, t, "text", "doc_id")
+        naive = ngram_jaccard_pairs(docs, threshold=t, prefix_filter=False)
+        a = sorted((r.id_a, r.id_b, r.jaccard) for r in fast.collect())
+        b = sorted((r.id_a, r.id_b, r.jaccard) for r in naive.collect())
+        assert a == b, f"threshold {t}: block-sparse != naive"
+    # default routing: below 0.5 the public API takes the block path
+    routed = ngram_jaccard_pairs(docs, threshold=0.3)
+    a = sorted((r.id_a, r.id_b, r.jaccard) for r in routed.collect())
+    b = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, prefix_filter=False).collect()
+    )
+    assert a == b
+
+
+def test_block_sparse_string_ids(spark, docs):
+    """Generic orderable ids: output id_a < id_b by VALUE, not by block or
+    arrival order (the kernel orders at output via np minimum/maximum)."""
+    from rasusa_spark.operators.dedup import _jaccard_block_sparse
+
+    sdocs = docs.withColumn("doc_id", F.concat(F.lit("d"), F.format_string("%05d", "doc_id")))
+    fast = _jaccard_block_sparse(sdocs, 3, 0.3, "text", "doc_id")
+    naive = ngram_jaccard_pairs(sdocs, threshold=0.3, prefix_filter=False)
+    a = sorted((r.id_a, r.id_b, r.jaccard) for r in fast.collect())
+    b = sorted((r.id_a, r.id_b, r.jaccard) for r in naive.collect())
+    assert a == b
+    assert all(x < y for x, y, _ in a)
+
+
 def test_prefix_filter_skew_guard(spark):
     """A stop-shingle present in EVERY doc must not blow up the prefix
     join: rarest-first ordering puts it past the prefix cut, so candidate
