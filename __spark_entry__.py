@@ -523,16 +523,27 @@ def q_cms_user_counts_1d(spark, sf_dir):
         cms_partials,
     )
 
+    from rasusa_spark.operators.dedup import _DEDUP_CACHES
+
     ev = _load(spark, sf_dir, "events")
     h1 = cms_partials(
         ev, "1h", group_cols=("event_type",), item_col="user_id"
     )
-    d1 = cms_from_finer(h1, "1d", group_cols=("event_type",))
+    # the daily state is AGGREGATE-sized (d·w cells per (group, day)) but
+    # its lineage is the full 4-md5-per-event partials pass; cms_estimate
+    # consumes it three times (geometry probe, bucket grid, probe join) —
+    # persist so the raw-event cascade runs once (r7: 10.8 s → the
+    # cascade re-ran ~3× plus two candidate scans). Same for the tiny
+    # candidate dim (max_candidates probe + broadcast).
+    d1 = cms_from_finer(h1, "1d", group_cols=("event_type",)).persist()
+    _DEDUP_CACHES.append(d1)
     cand = (
         ev.where(F.col("user_id") % 7 == 0)
         .select(F.col("user_id").alias("item"))
         .distinct()
+        .persist()
     )
+    _DEDUP_CACHES.append(cand)
     est = cms_estimate(
         d1, cand, group_cols=("event_type",), item_col="item"
     )
@@ -1408,7 +1419,7 @@ def q_dsir_scores(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents")
     return dsir_scores(
-        docs, docs.where(F.col("lang") == "en"), n_buckets=10_000
+        docs, target_pred=F.col("lang") == "en", n_buckets=10_000
     )
 
 

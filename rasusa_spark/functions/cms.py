@@ -76,27 +76,50 @@ def cms_partials(
         raise ValueError(f"d must be in [1,16], got {d}")
     if not (2 <= w <= 65536):
         raise ValueError(f"w must be in [2,65536], got {w}")
-    item = F.col(item_col)
+    # hash each DISTINCT item once and attach its d cells by join: the d
+    # md5s run |distinct items| times instead of |rows| times — items
+    # repeating across rows is the very regime a CMS is for (r7: 66×
+    # fewer md5s at sf1, partials stage 7.2 s → 4.1 s). The distinct is
+    # one map-side-combinable shuffle of the bare item column; the join
+    # is un-hinted so AQE broadcasts a small dim and falls back to a
+    # shuffle join for huge item domains (the _threshold_keep
+    # discipline). eqNullSafe keeps the null-item row behavior of the
+    # inline form (null cells, never dropped rows).
+    item = F.col("_cms_item")
     cells = F.array(
         *[
             F.struct(F.lit(r).alias("r"), _idx_expr(item, r, w))
             for r in range(d)
         ]
     )
+    dim = (
+        df.select(F.col(item_col).alias("_cms_item"))
+        .distinct()
+        .select(F.col("_cms_item").alias("_cms_item_d"), F.inline(cells))
+    )
     mass = (
         F.sum(F.col(weight_col).cast("long"))
         if weight_col is not None
         else F.count(F.lit(1))
     )
-    return (
+    # pre-aggregate to (group, bucket, item) BEFORE attaching cells: the
+    # join then multiplies d over combined triples, not raw rows, and the
+    # final cell aggregate sums pre-combined masses (both aggregates stay
+    # map-side combinable; exact integer addition either way)
+    pre = (
         df.select(
             *group_cols,
             bucket_expr(tier, ts_col).alias("bucket_start"),
-            *( [F.col(weight_col)] if weight_col is not None else [] ),
-            F.inline(cells),
+            *([F.col(weight_col)] if weight_col is not None else []),
+            F.col(item_col).alias("_cms_item"),
         )
+        .groupBy(*group_cols, "bucket_start", "_cms_item")
+        .agg(mass.alias("_cms_mass"))
+    )
+    return (
+        pre.join(dim, F.col("_cms_item").eqNullSafe(F.col("_cms_item_d")))
         .groupBy(*group_cols, "bucket_start", "r", "idx")
-        .agg(mass.alias("cnt"))
+        .agg(F.sum("_cms_mass").alias("cnt"))
         .withColumns({"d": F.lit(d), "w": F.lit(w)})
     )
 

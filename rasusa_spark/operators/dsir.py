@@ -90,36 +90,67 @@ def dsir_bucket_counts(
 
 def dsir_scores(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     n_buckets: int = 10_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    target_pred=None,
 ) -> DataFrame:
     """Per-raw-document importance score: (id, dsir_score) where
     ``dsir_score`` is the exact int64 sum of per-feature quantized
     log-ratio weights (micro-nats; divide by 1e6 for nats). Higher =
-    more target-like. Documents with no features score 0."""
+    more target-like. Documents with no features score 0.
+
+    The target corpus is given either as a separate DataFrame
+    (``target``) or — when it is a slice of ``raw`` — as a boolean
+    Column ``target_pred`` over raw's rows. The predicate form explodes
+    and hashes the corpus ONCE (the md5 feature explosion is the
+    dominant stage: r7 measured the separate-target form re-running it
+    over the target slice for ~25% extra wall at sf1); results are
+    identical because target counts are the same multiset either way."""
     from .dedup import _DEDUP_CACHES
 
-    # ONE feature explosion over each corpus: the per-(doc, bucket) table
-    # is persisted (registered with the dedup cache registry —
-    # cache_scope()/release_dedup_caches) and feeds the raw counts, the
-    # total, AND the scoring join; without it the totals' collect()s and
-    # the weight dim would each re-execute the explode+md5 lineage.
-    doc_feats = _exploded_features(raw, text_col, id_col).select(
-        id_col, _bucket_col(F.col("_f"), n_buckets)
-    )
-    per_bucket = (
-        doc_feats.groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .persist()
-    )
-    _DEDUP_CACHES.append(per_bucket)
-    t_counts = dsir_bucket_counts(target, n_buckets, text_col).persist()
-    _DEDUP_CACHES.append(t_counts)
-    r_counts = per_bucket.groupBy("bucket").agg(F.sum("_n").alias("n"))
-    t_tot = t_counts.agg(F.sum("n")).collect()[0][0] or 0
-    r_tot = r_counts.agg(F.sum("n")).collect()[0][0] or 0
+    if (target is None) == (target_pred is None):
+        raise ValueError("exactly one of target / target_pred required")
+
+    # ONE feature explosion over the raw corpus: the (doc, bucket[, flag])
+    # occurrence table is persisted (registered with the dedup cache
+    # registry — cache_scope()/release_dedup_caches) and feeds the raw
+    # counts, the totals, the target counts (predicate form), AND the
+    # scoring join; without it each consumer would re-execute the
+    # explode+md5 lineage.
+    if target_pred is not None:
+        flagged = raw.withColumn("_is_t", target_pred.cast("boolean"))
+        bucketed = (
+            _exploded_features(flagged, text_col, id_col, "_is_t")
+            .select(id_col, "_is_t", _bucket_col(F.col("_f"), n_buckets))
+            .persist()
+        )
+    else:
+        bucketed = (
+            _exploded_features(raw, text_col, id_col)
+            .select(id_col, _bucket_col(F.col("_f"), n_buckets))
+            .persist()
+        )
+    _DEDUP_CACHES.append(bucketed)
+    r_counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    if target_pred is not None:
+        t_counts = (
+            bucketed.where(F.col("_is_t"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # ONE job for both corpus totals instead of two scalar collects
+        tot = bucketed.agg(
+            F.count(F.lit(1)).alias("_r"),
+            F.count_if(F.col("_is_t")).alias("_t"),
+        ).collect()[0]
+        r_tot, t_tot = tot["_r"] or 0, tot["_t"] or 0
+    else:
+        t_counts = dsir_bucket_counts(target, n_buckets, text_col).persist()
+        _DEDUP_CACHES.append(t_counts)
+        t_tot = t_counts.agg(F.sum("n")).collect()[0][0] or 0
+        r_tot = r_counts.agg(F.sum("n")).collect()[0][0] or 0
     denom_t = float(t_tot + n_buckets)
     denom_r = float(r_tot + n_buckets)
 
@@ -143,10 +174,13 @@ def dsir_scores(
         )
     )
 
+    # Σ over occurrences of w(bucket) ≡ Σ_b n_b·w_b — exact int64 either
+    # way; scoring straight off the occurrence table drops the separate
+    # per-(doc, bucket) pre-aggregation pass
     scored = (
-        per_bucket.join(F.broadcast(dim), on="bucket")
+        bucketed.join(F.broadcast(dim), on="bucket")
         .groupBy(id_col)
-        .agg(F.sum(F.col("_n") * F.col("w_micro")).alias("dsir_score"))
+        .agg(F.sum(F.col("w_micro")).alias("dsir_score"))
     )
     return (
         raw.select(id_col)

@@ -54,9 +54,27 @@ def _windows(
     )
     w = F.col("_w")
     if portable:
-        fp = lambda i: F.md5(  # noqa: E731
-            F.concat_ws("\x1f", *[F.element_at(w, i + j + 1) for j in range(n)])
-        )
+        # 60-bit slice of the md5 as a LONG (15 hex chars < 2^63): the
+        # fingerprint is only a distinctness identity, and long keys make
+        # the downstream aggregate/semi-join/cache 8-byte rows instead of
+        # 32-char strings (r7: the cached window table, hot aggregate and
+        # probe join all run on longs). Distinct windows ↔ distinct
+        # fingerprints up to 2^-60 collisions — the engine's documented
+        # hashed-dedup contract; the md5 base keeps it reproducible in any
+        # SQL engine (conv(substr(md5(x),1,15),16,10)).
+        fp = lambda i: F.conv(  # noqa: E731
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", *[F.element_at(w, i + j + 1) for j in range(n)]
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
     else:
         fp = lambda i: F.xxhash64(  # noqa: E731
             *[F.element_at(w, i + j + 1) for j in range(n)]
@@ -83,7 +101,16 @@ def duplicated_spans(
     by some n-window occurring ≥ ``min_count`` times in the corpus.
     Overlapping/adjacent duplicated windows merge into one maximal span
     (gaps-and-islands per doc)."""
-    wins = _windows(df, n, text_col, id_col, portable)
+    from .dedup import _DEDUP_CACHES
+
+    # the window table feeds BOTH the hot-fingerprint aggregate and the
+    # semi-join probe side; un-materialized, the md5-per-position explode
+    # (the most expensive subtree here — ~5 s per evaluation at sf1) runs
+    # twice inside one plan (the documented shared-subtree trap). Persist
+    # the skinny (id, pos, hash) rows once; released via the dedup cache
+    # registry like the other dedup persists.
+    wins = _windows(df, n, text_col, id_col, portable).persist()
+    _DEDUP_CACHES.append(wins)
     hot = (
         wins.groupBy("_wh")
         .agg(F.count(F.lit(1)).alias("_c"))

@@ -1242,6 +1242,16 @@ def test_dsir_scores_match_python_mirror(spark, docs):
     }
     assert relaid == expected
 
+    # r7 single-explosion predicate form: identical scores to the
+    # separate-target form (same target multiset, same integer algebra)
+    pred = {
+        r.doc_id: r.dsir_score
+        for r in dsir_scores(
+            docs, target_pred=F.col("lang") == "en", n_buckets=B
+        ).collect()
+    }
+    assert pred == expected
+
 
 def test_embedding_near_duplicates_self(spark, embs):
     doubled = embs.limit(40).union(
