@@ -1032,6 +1032,13 @@ def q_downsample_budget_threshold(spark, sf_dir):
 
 
 def q_downsample_topk(spark, sf_dir):
+    """r7: strategy switched window → threshold — the two-phase scale
+    path selects the IDENTICAL set (pinned by
+    tests/test_downsample.py::test_threshold_equals_window and this
+    query's unchanged oracle) without the per-group full sort the window
+    strategy pays (3 groups → 3 single-threaded sort tasks at sf1). The
+    window strategy itself stays driver-witnessed via
+    ``downsample_budget``."""
     li = _li_keyed(spark, sf_dir)
     kept = downsample(
         li,
@@ -1040,13 +1047,15 @@ def q_downsample_topk(spark, sf_dir):
         mode="num",
         num=100,
         id_col="li_id",
-        strategy="window",
+        strategy="threshold",
         key_expr=_li_key_expr(),
     )
     return kept.select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
 def q_downsample_frac(spark, sf_dir):
+    """r7: strategy switched window → threshold (see q_downsample_topk —
+    identical selection, no per-group global sort)."""
     li = _li_keyed(spark, sf_dir)
     kept = downsample(
         li,
@@ -1055,7 +1064,7 @@ def q_downsample_frac(spark, sf_dir):
         mode="frac",
         frac=0.25,
         id_col="li_id",
-        strategy="window",
+        strategy="threshold",
         key_expr=_li_key_expr(),
     )
     return kept.select("l_orderkey", "l_linenumber", "l_returnflag")

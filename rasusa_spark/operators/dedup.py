@@ -781,9 +781,17 @@ def minhash_lsh_pairs(
         # set is unbounded and a forced broadcast is a driver OOM at 100 TB;
         # AQE picks broadcast on its own whenever the set is actually small
         # (verified in PLANS.md — the sf0.1 plan still shows a broadcast).
+        # semi-join BEFORE shingling: the gram transform+explode is the
+        # expensive part and Catalyst cannot push a join below Generate,
+        # so shingle only the candidate docs (r7; identical sets — the
+        # semi-join commutes with per-doc shingling)
         sets = (
-            word_shingles_hashed(df, shingle_n, text_col, id_col)
-            .join(cand_ids, id_col, "left_semi")
+            word_shingles_hashed(
+                df.join(cand_ids, id_col, "left_semi"),
+                shingle_n,
+                text_col,
+                id_col,
+            )
             .groupBy(id_col)
             .agg(F.collect_set("_shh").alias("_set"))
         )
@@ -1055,13 +1063,23 @@ def ngram_contamination(
     TBs), so it broadcasts and the check is a map-side semi-join against
     the corpus shingle stream — no shuffle of the corpus at all; the only
     shuffle is the per-doc count over the (rare) matching shingles. Set
-    ``broadcast_probes=False`` for unusually large probe sets."""
-    probe_sh = word_shingles(probes, n, text_col, id_col).select("shingle").distinct()
+    ``broadcast_probes=False`` for unusually large probe sets.
+
+    r7: both sides join on 64-bit shingle HASHES (word_shingles_hashed)
+    instead of shingle strings — no array_join string build per gram on
+    the corpus side, 8-byte join keys. Distinct grams ↔ distinct hashes
+    up to 2⁻⁶⁴ collisions, the repo's standard hashed-dedup contract;
+    shared counts are identical absent a collision."""
+    probe_sh = (
+        word_shingles_hashed(probes, n, text_col, id_col)
+        .select("_shh")
+        .distinct()
+    )
     if broadcast_probes:
         probe_sh = F.broadcast(probe_sh)
-    doc_sh = word_shingles(docs, n, text_col, id_col)  # distinct per doc already
+    doc_sh = word_shingles_hashed(docs, n, text_col, id_col)  # distinct per doc
     return (
-        doc_sh.join(probe_sh, on="shingle")
+        doc_sh.join(probe_sh, on="_shh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
         .where(F.col("shared_shingles") >= min_shared)
