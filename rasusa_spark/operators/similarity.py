@@ -369,6 +369,7 @@ def semantic_dedup(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public): k-means-partition the corpus into cells
@@ -391,7 +392,17 @@ def semantic_dedup(
 
     Cosine is rounded to 6 decimals BEFORE the threshold compare (the
     cross-engine discipline the cosine_threshold query pins): the edge
-    SET, not just the scores, must agree with the DuckDB oracle."""
+    SET, not just the scores, must agree with the DuckDB oracle.
+
+    ``max_cell_rows`` (r7, the dense-cell guard VERDICT r6 #1 asked
+    for): the within-cell pair work is O(m²·dim) flops and O(m·dim)
+    task memory — bounded only by cell balance. With a cap set, a cell
+    exceeding it makes the kernel RAISE (task error names the cell and
+    size) instead of silently attempting an unbounded quadratic — a
+    refusal guard, never a result change: runs either produce the exact
+    uncapped pair set or fail loudly. Size it to what one task's memory
+    holds; on skewed corpora re-train with more cells or pre-split the
+    hot region."""
     from .dedup import dedup_clusters
 
     cents = ivf_build_centroids(
@@ -418,6 +429,13 @@ def semantic_dedup(
         pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
         ids = pdf["_id"].to_numpy()
         m = len(ids)
+        if max_cell_rows is not None and m > max_cell_rows:
+            raise ValueError(
+                f"semantic_dedup: IVF cell {int(pdf['ivf_cell'].iloc[0])} "
+                f"holds {m} rows > max_cell_rows={max_cell_rows} — the "
+                "within-cell pair stage is O(m^2); re-train with more "
+                "cells or pre-split the dense region"
+            )
         if m < 2:
             return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
         mat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)

@@ -76,6 +76,31 @@ def test_prefix_filter_equals_naive_jaccard(spark, docs):
         assert a == b, f"threshold {t}: prefix-filtered != naive"
 
 
+def test_semantic_dedup_dense_cell_guard(spark, embs):
+    """max_cell_rows is a REFUSAL guard: a generous cap changes nothing,
+    a cap below the largest cell fails loudly instead of attempting the
+    unbounded quadratic (VERDICT r6 #1)."""
+    import pytest as _pytest
+
+    from rasusa_spark.operators.similarity import semantic_dedup
+
+    base = {
+        (r.vec_id, r.cluster_id)
+        for r in semantic_dedup(embs, threshold=0.4, n_cells=8, sample=256).collect()
+    }
+    capped = {
+        (r.vec_id, r.cluster_id)
+        for r in semantic_dedup(
+            embs, threshold=0.4, n_cells=8, sample=256, max_cell_rows=10_000_000
+        ).collect()
+    }
+    assert capped == base
+    with _pytest.raises(Exception, match="max_cell_rows"):
+        semantic_dedup(
+            embs, threshold=0.4, n_cells=8, sample=256, max_cell_rows=1
+        ).collect()
+
+
 def test_block_sparse_equals_naive_jaccard(spark, docs):
     """The r7 block-sparse kernel (default routing at t < 0.5) must return
     the IDENTICAL pair set as both reference paths — it is exact counting,
