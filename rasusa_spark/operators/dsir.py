@@ -133,46 +133,62 @@ def dsir_scores(
             .persist()
         )
     _DEDUP_CACHES.append(bucketed)
-    r_counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-    if target_pred is not None:
-        t_counts = (
-            bucketed.where(F.col("_is_t"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        # ONE job for both corpus totals instead of two scalar collects
-        tot = bucketed.agg(
-            F.count(F.lit(1)).alias("_r"),
-            F.count_if(F.col("_is_t")).alias("_t"),
-        ).collect()[0]
-        r_tot, t_tot = tot["_r"] or 0, tot["_t"] or 0
-    else:
-        t_counts = dsir_bucket_counts(target, n_buckets, text_col).persist()
-        _DEDUP_CACHES.append(t_counts)
-        t_tot = t_counts.agg(F.sum("n")).collect()[0][0] or 0
-        r_tot = r_counts.agg(F.sum("n")).collect()[0][0] or 0
-    denom_t = float(t_tot + n_buckets)
-    denom_r = float(r_tot + n_buckets)
 
-    # bounded weight dim (≤ n_buckets rows): add-1 smoothed log ratio,
-    # quantized to integer micro-nats (round half-away, both engines)
-    dim = (
-        t_counts.withColumnRenamed("n", "_nt")
-        .join(r_counts.withColumnRenamed("n", "_nr"), on="bucket", how="full")
-        .na.fill(0, ["_nt", "_nr"])
-        .select(
-            "bucket",
+    def _w_micro(nt, nr, denom_t, denom_r):
+        # add-1 smoothed log ratio, quantized to integer micro-nats
+        # (round half-away, both engines)
+        return (
             F.round(
                 (
-                    F.log((F.col("_nt") + 1).cast("double") / F.lit(denom_t))
-                    - F.log((F.col("_nr") + 1).cast("double") / F.lit(denom_r))
+                    F.log((nt + 1).cast("double") / F.lit(denom_t))
+                    - F.log((nr + 1).cast("double") / F.lit(denom_r))
                 )
                 * F.lit(1_000_000.0)
             )
             .cast("long")
-            .alias("w_micro"),
+            .alias("w_micro")
         )
-    )
+
+    if target_pred is not None:
+        # target ⊆ raw BY CONSTRUCTION (a flag on raw's rows), so ONE
+        # per-bucket aggregate carries both corpus counts, the totals are
+        # its column sums (one tiny collect), and the weight dim is a
+        # straight projection — no second aggregate pass, no full-outer
+        # join. The bounded counts frame is persisted (≤ n_buckets rows)
+        # so the totals collect and the dim share one cached-table scan.
+        counts = (
+            bucketed.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("_nr"),
+                F.count_if(F.col("_is_t")).alias("_nt"),
+            )
+            .persist()
+        )
+        _DEDUP_CACHES.append(counts)
+        tot = counts.agg(F.sum("_nr").alias("_r"), F.sum("_nt").alias("_t")).collect()[0]
+        r_tot, t_tot = tot["_r"] or 0, tot["_t"] or 0
+        denom_t = float(t_tot + n_buckets)
+        denom_r = float(r_tot + n_buckets)
+        dim = counts.select(
+            "bucket", _w_micro(F.col("_nt"), F.col("_nr"), denom_t, denom_r)
+        )
+    else:
+        r_counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+        t_counts = dsir_bucket_counts(target, n_buckets, text_col).persist()
+        _DEDUP_CACHES.append(t_counts)
+        t_tot = t_counts.agg(F.sum("n")).collect()[0][0] or 0
+        r_tot = r_counts.agg(F.sum("n")).collect()[0][0] or 0
+        denom_t = float(t_tot + n_buckets)
+        denom_r = float(r_tot + n_buckets)
+        # bounded weight dim (≤ n_buckets rows per side)
+        dim = (
+            t_counts.withColumnRenamed("n", "_nt")
+            .join(r_counts.withColumnRenamed("n", "_nr"), on="bucket", how="full")
+            .na.fill(0, ["_nt", "_nr"])
+            .select(
+                "bucket", _w_micro(F.col("_nt"), F.col("_nr"), denom_t, denom_r)
+            )
+        )
 
     # Σ over occurrences of w(bucket) ≡ Σ_b n_b·w_b — exact int64 either
     # way; scoring straight off the occurrence table drops the separate
