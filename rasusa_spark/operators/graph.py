@@ -58,10 +58,15 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # seed labels with the FIRST propagation step fused into the node
+    # derivation: label(x) = min(x, min neighbor) — the same shuffle a
+    # plain distinct would pay, one round's head start for free (the
+    # fixpoint is unchanged: this is exactly one neighbor-min step from
+    # the identity labeling)
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_nb"))
+        .select("node", F.least(F.col("node"), F.col("_nb")).alias("label"))
         .localCheckpoint(eager=True)
     )
 

@@ -100,25 +100,57 @@ def duplicated_spans(
     ``(id, span_start, span_end)`` — token positions [start, end) covered
     by some n-window occurring ≥ ``min_count`` times in the corpus.
     Overlapping/adjacent duplicated windows merge into one maximal span
-    (gaps-and-islands per doc)."""
-    from .dedup import _DEDUP_CACHES
+    (gaps-and-islands per doc).
 
-    # the window table feeds BOTH the hot-fingerprint aggregate and the
-    # semi-join probe side; un-materialized, the md5-per-position explode
-    # (the most expensive subtree here — ~5 s per evaluation at sf1) runs
-    # twice inside one plan (the documented shared-subtree trap). Persist
-    # the skinny (id, pos, hash) rows once; released via the dedup cache
-    # registry like the other dedup persists.
-    wins = _windows(df, n, text_col, id_col, portable).persist()
-    _DEDUP_CACHES.append(wins)
-    hot = (
-        wins.groupBy("_wh")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .where(F.col("_c") >= min_count)
-        .select("_wh")
+    r7 shape: ONE pass over the window table — hash-repartition by
+    fingerprint co-locates every occurrence of a fingerprint in one
+    partition, so a per-partition Arrow kernel (np.unique counts over
+    the partition's fingerprints, zero-copy column access) emits exactly
+    the rows whose fingerprint repeats ≥ ``min_count`` corpus-wide. The
+    former shape evaluated the window table twice (hot-count aggregate +
+    semi-join probe — the shared-subtree trap) or paid a persist of it;
+    both the near-1:1-group count aggregate and the join are gone. Skew
+    bound: a hot fingerprint contributes ROWS to one partition (its
+    occurrence count), never pairs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    wins = _windows(df, n, text_col, id_col, portable)
+    id_type = df.schema[id_col].dataType
+    marked_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("_s", T.IntegerType()),
+            T.StructField("_e", T.IntegerType()),
+        ]
     )
-    marked = wins.join(hot, on="_wh", how="left_semi").select(
-        id_col, F.col("pos").alias("_s"), (F.col("pos") + n).alias("_e")
+    mc = int(min_count)
+    nn = int(n)
+
+    def dup_rows(batches):
+        tbl = pa.Table.from_batches(list(batches))
+        if tbl.num_rows == 0:
+            return
+        fp = tbl.column("_wh").combine_chunks().to_numpy(zero_copy_only=False)
+        uniq, inv, cnt = np.unique(fp, return_inverse=True, return_counts=True)
+        keep = cnt[inv] >= mc
+        pos = tbl.column("pos").combine_chunks().to_numpy()[keep]
+        ids = tbl.column(id_col).combine_chunks().take(
+            pa.array(np.flatnonzero(keep))
+        )
+        yield pa.record_batch(
+            {
+                id_col: ids,
+                "_s": pa.array(pos.astype(np.int32)),
+                "_e": pa.array((pos + nn).astype(np.int32)),
+            }
+        )
+
+    marked = (
+        wins.repartition(F.col("_wh"))
+        .mapInArrow(dup_rows, marked_schema)
     )
     wd = Window.partitionBy(id_col).orderBy("_s")
     prev_max_e = F.max("_e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
