@@ -550,21 +550,117 @@ def minhash_signatures(
     min over a pairwise-independent-ish hash family is the standard minhash
     estimator (Broder '97); round 1 built the same estimator through a
     per-shingle Python hashlib loop — the top CPU cost of the whole bench
-    (VERDICT r1 "What's wrong" #3)."""
-    sh = word_shingles_hashed(df, shingle_n, text_col, id_col)
-    hashed = sh.select(
-        F.col(id_col),
-        F.xxhash64(F.lit(int(seed)).cast("long"), F.col("_shh")).alias("_h"),
+    (VERDICT r1 "What's wrong" #3).
+
+    r7: gram hashes still come from ONE JVM projection (xxhash64 over the
+    word columns — string hashing stays in codegen), but the permutation
+    family + per-doc minima run in a vectorized numpy XXH64 kernel
+    (mapInArrow): the (long, long) chain and the (long, int-literal)
+    chain of Spark's xxhash64 are reimplemented bit-exactly on uint64
+    arrays (property-tested against Spark over random longs in
+    tests/test_pipeline_ops.py), 64 per-permutation finalizers + signed
+    per-doc reduceat minima replace the shingle-row explode, its shuffle
+    and the 64-min hash aggregate. Signatures are BIT-IDENTICAL to the
+    former builder by construction and by test."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    words_expr = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
-    mins = hashed.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
-            for i in range(n_perm)
+    with_words = df.select(F.col(id_col), words_expr.alias("_words")).where(
+        F.size("_words") >= shingle_n
+    )
+    w = F.col("_words")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - shingle_n),
+        lambda i: F.xxhash64(
+            *[F.element_at(w, i + j + 1) for j in range(shingle_n)]
+        ),
+    )
+    # hash-repartition so the kernel parallelizes past the scan's file
+    # split count (a single sf1 parquet file is ONE scan partition)
+    sets = with_words.select(
+        F.col(id_col), F.array_distinct(grams).alias("_sh")
+    ).repartition(F.col(id_col))
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("signature", T.ArrayType(T.LongType())),
         ]
     )
-    return mins.select(
-        F.col(id_col), F.array(*[F.col(f"_m{i}") for i in range(n_perm)]).alias("signature")
-    )
+    seed_l = int(seed)
+    np_ = n_perm
+
+    def sig_kernel(batches):
+        P1 = np.uint64(0x9E3779B185EBCA87)
+        P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        P3 = np.uint64(0x165667B19E3779F9)
+        P4 = np.uint64(0x85EBCA77C2B2AE63)
+        P5 = np.uint64(0x27D4EB2F165667C5)
+        c64 = np.uint64(64)
+
+        def rotl(x, r):
+            r = np.uint64(r)
+            return (x << r) | (x >> (c64 - r))
+
+        def fmix(h):
+            h = h ^ (h >> np.uint64(33))
+            h = h * P2
+            h = h ^ (h >> np.uint64(29))
+            h = h * P3
+            h = h ^ (h >> np.uint64(32))
+            return h
+
+        def hash_long(l_u64, seed_u64):
+            h = seed_u64 + P5 + np.uint64(8)
+            h = h ^ (rotl(l_u64 * P2, 31) * P1)
+            h = rotl(h, 27) * P1 + P4
+            return fmix(h)
+
+        def hash_int(i, seed_u64):
+            h = seed_u64 + P5 + np.uint64(4)
+            h = h ^ (np.uint64(i & 0xFFFFFFFF) * P1)
+            h = rotl(h, 23) * P2 + P3
+            return fmix(h)
+
+        old = np.seterr(over="ignore")
+        try:
+            # seed's int64 bit pattern as uint64 (two's complement)
+            base = hash_long(
+                np.uint64(seed_l & 0xFFFFFFFFFFFFFFFF), np.uint64(42)
+            )
+            for batch in batches:
+                m = batch.num_rows
+                if m == 0:
+                    continue
+                sh = batch.column("_sh")
+                offs = sh.offsets.to_numpy().astype(np.int64)
+                flat = sh.values.to_numpy().view(np.uint64)
+                # seed re-hash chain: xxhash64(lit(seed)::long, _shh)
+                h = hash_long(flat, base)
+                # shared prefix of every permutation: hashLong(_h, 42)
+                h1 = hash_long(h, np.uint64(42))
+                starts = offs[:-1]
+                sig = np.empty((m, np_), dtype=np.int64)
+                for i in range(np_):
+                    v = hash_int(i, h1).view(np.int64)
+                    sig[:, i] = np.minimum.reduceat(v, starts)
+                out_offs = (np.arange(m + 1, dtype=np.int32) * np_)
+                values = pa.array(sig.reshape(-1), pa.int64())
+                sig_arr = pa.ListArray.from_arrays(
+                    pa.array(out_offs, pa.int32()), values
+                )
+                yield pa.record_batch(
+                    [batch.column(id_col), sig_arr], names=[id_col, "signature"]
+                )
+        finally:
+            np.seterr(**old)
+
+    return sets.mapInArrow(sig_kernel, out_schema)
 
 
 def minhash_signatures_oph(

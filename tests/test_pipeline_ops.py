@@ -76,6 +76,89 @@ def test_prefix_filter_equals_naive_jaccard(spark, docs):
         assert a == b, f"threshold {t}: prefix-filtered != naive"
 
 
+def test_numpy_xxh64_matches_spark(spark):
+    """The minhash signature kernel's numpy XXH64 must be bit-exact vs
+    Spark's xxhash64 for both composition shapes it uses: the
+    (long, long) seed-rehash chain and the (long, int-literal)
+    permutation chain (r7 — the kernel replaces the shingle explode +
+    64-min aggregate; bit equality is the whole contract)."""
+    import pandas as pd
+
+    from rasusa_spark.operators.dedup import minhash_signatures, word_shingles_hashed
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-(2**63), 2**63, 50_000, dtype=np.int64)
+    texts = None  # signature-level identity below covers the kernel e2e
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got = df.select(
+        F.xxhash64(F.lit(5).cast("long"), F.col("v")).alias("h1"),
+        F.xxhash64(F.col("v"), F.lit(7)).alias("hi"),
+    ).toPandas()
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+    c64 = np.uint64(64)
+
+    def rotl(x, r):
+        r = np.uint64(r)
+        return (x << r) | (x >> (c64 - r))
+
+    def fmix(h):
+        h = h ^ (h >> np.uint64(33))
+        h = h * P2
+        h = h ^ (h >> np.uint64(29))
+        h = h * P3
+        h = h ^ (h >> np.uint64(32))
+        return h
+
+    def hash_long(l, s):
+        h = s + P5 + np.uint64(8)
+        h = h ^ (rotl(l * P2, 31) * P1)
+        h = rotl(h, 27) * P1 + P4
+        return fmix(h)
+
+    def hash_int(i, s):
+        h = s + P5 + np.uint64(4)
+        h = h ^ (np.uint64(i) * P1)
+        h = rotl(h, 23) * P2 + P3
+        return fmix(h)
+
+    old = np.seterr(over="ignore")
+    try:
+        u = vals.view(np.uint64)
+        h1 = hash_long(u, hash_long(np.uint64(5), np.uint64(42))).view(np.int64)
+        hi = hash_int(7, hash_long(u, np.uint64(42))).view(np.int64)
+    finally:
+        np.seterr(**old)
+    assert (got["h1"].to_numpy() == h1).all()
+    assert (got["hi"].to_numpy() == hi).all()
+
+
+def test_minhash_signature_kernel_bit_identity(spark, docs):
+    """The r7 mapInArrow signature builder must emit BIT-IDENTICAL
+    signatures to the explode + 64-min-aggregate formulation."""
+    from rasusa_spark.operators.dedup import minhash_signatures, word_shingles_hashed
+
+    for seed, nperm in ((1, 64), (9, 16)):
+        new = {r[0]: tuple(r[1]) for r in minhash_signatures(docs, nperm, 3, seed).collect()}
+        sh = word_shingles_hashed(docs, 3, "text", "doc_id")
+        hashed = sh.select(
+            F.col("doc_id"),
+            F.xxhash64(F.lit(int(seed)).cast("long"), F.col("_shh")).alias("_h"),
+        )
+        mins = hashed.groupBy("doc_id").agg(
+            *[F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(nperm)]
+        )
+        old = {
+            r["doc_id"]: tuple(r[f"_m{i}"] for i in range(nperm))
+            for r in mins.collect()
+        }
+        assert new == old
+
+
 def test_semantic_dedup_dense_cell_guard(spark, embs):
     """max_cell_rows is a REFUSAL guard: a generous cap changes nothing,
     a cap below the largest cell fails loudly instead of attempting the
