@@ -75,6 +75,91 @@ def _bucket_col(feat, n_buckets: int):
     ).alias("bucket")
 
 
+def _bucketed_occurrences(
+    df: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+    flag_col: str | None = None,
+):
+    """(id[, flag], bucket) feature-occurrence table built in ONE Arrow
+    kernel per task: tokenize → unigrams+bigrams → md5 → bucket, all in
+    Python, no explode/md5/conv in the plan (r7 continuation: the JVM
+    explode+md5+conv chain was ~5 s of dsir's 8 s at sf1; the kernel is
+    ~1.4 s for the same table).
+
+    Row-multiset EQUAL to ``_exploded_features`` + ``_bucket_col`` by
+    construction and by test (``test_dsir_kernel_buckets_match_jvm``
+    pins doc-level bucket-multiset equality on the corpus AND on
+    unicode edge docs — final sigma, Turkish İ, titlecase ǅ, NBSP,
+    tab/space mixes):
+
+    - tokens: ``re.split(r'\\s+', text.strip(' ').lower())`` with
+      ``re.ASCII`` — Java's default ``\\s`` class is ASCII-only and
+      Spark ``trim`` strips 0x20 only; empty tokens dropped like the
+      JVM ``filter``;
+    - ``str.lower()`` matches UTF8String.toLowerCase (Locale.ROOT full
+      case mapping) on every probed divergence candidate;
+    - bucket: first 4 md5 bytes big-endian mod n_buckets ≡
+      ``conv(substring(md5(f),1,8),16,10) % n_buckets``.
+
+    ids (any orderable dtype) and flags pass through via Arrow ``take``
+    — nulls and dtypes preserved exactly; null text ⇒ no rows (the
+    explode of a null array)."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    cols = [id_col] + ([flag_col] if flag_col else []) + [text_col]
+    base = df.select(*cols).repartition(F.col(id_col))
+    fields = [T.StructField(id_col, df.schema[id_col].dataType)]
+    if flag_col:
+        fields.append(T.StructField(flag_col, T.BooleanType()))
+    fields.append(T.StructField("bucket", T.LongType()))
+    out_schema = T.StructType(fields)
+    nb = int(n_buckets)
+
+    def kern(batches):
+        import hashlib
+
+        ws = re.compile(r"\s+", re.ASCII)
+        md5 = hashlib.md5
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
+                continue
+            texts = batch.column(text_col).to_pylist()
+            nfeats = np.zeros(m, dtype=np.int64)
+            chunks = []
+            for k, t in enumerate(texts):
+                if t is None:
+                    continue
+                toks = [w for w in ws.split(t.strip(" ").lower()) if w]
+                if not toks:
+                    continue
+                feats = toks + [a + " " + b for a, b in zip(toks, toks[1:])]
+                bs = np.empty(len(feats), dtype=np.int64)
+                for i, f in enumerate(feats):
+                    bs[i] = (
+                        int.from_bytes(md5(f.encode("utf-8")).digest()[:4], "big")
+                        % nb
+                    )
+                nfeats[k] = len(feats)
+                chunks.append(bs)
+            if not chunks:
+                continue
+            idx = pa.array(np.repeat(np.arange(m, dtype=np.int64), nfeats))
+            out = {id_col: batch.column(id_col).take(idx)}
+            if flag_col:
+                out[flag_col] = batch.column(flag_col).take(idx)
+            out["bucket"] = pa.array(np.concatenate(chunks), pa.int64())
+            yield pa.record_batch(out)
+
+    return base.mapInArrow(kern, out_schema)
+
+
 def dsir_bucket_counts(
     df: DataFrame,
     n_buckets: int = 10_000,
@@ -113,25 +198,23 @@ def dsir_scores(
     if (target is None) == (target_pred is None):
         raise ValueError("exactly one of target / target_pred required")
 
-    # ONE feature explosion over the raw corpus: the (doc, bucket[, flag])
+    # ONE feature pass over the raw corpus: the (doc, bucket[, flag])
     # occurrence table is persisted (registered with the dedup cache
     # registry — cache_scope()/release_dedup_caches) and feeds the raw
     # counts, the totals, the target counts (predicate form), AND the
     # scoring join; without it each consumer would re-execute the
-    # explode+md5 lineage.
+    # feature-bucket lineage. The table comes from the Arrow kernel
+    # (_bucketed_occurrences) — row-multiset equal to the former JVM
+    # explode+md5+conv chain, ~3.5x faster at sf1.
     if target_pred is not None:
         flagged = raw.withColumn("_is_t", target_pred.cast("boolean"))
-        bucketed = (
-            _exploded_features(flagged, text_col, id_col, "_is_t")
-            .select(id_col, "_is_t", _bucket_col(F.col("_f"), n_buckets))
-            .persist()
-        )
+        bucketed = _bucketed_occurrences(
+            flagged, n_buckets, text_col, id_col, "_is_t"
+        ).persist()
     else:
-        bucketed = (
-            _exploded_features(raw, text_col, id_col)
-            .select(id_col, _bucket_col(F.col("_f"), n_buckets))
-            .persist()
-        )
+        bucketed = _bucketed_occurrences(
+            raw, n_buckets, text_col, id_col
+        ).persist()
     _DEDUP_CACHES.append(bucketed)
 
     def _w_micro(nt, nr, denom_t, denom_r):

@@ -142,3 +142,30 @@ def test_portable_hash_family_agrees(spark, planted):
     a = sorted(map(tuple, duplicated_spans(planted, n=4).collect()))
     b = sorted(map(tuple, duplicated_spans(planted, n=4, portable=True).collect()))
     assert a == b
+
+
+def test_kernel_windows_match_transform(spark):
+    """r7: the Arrow-kernel fingerprint family (_windows_kernel) must
+    induce the SAME window equality classes as the portable md5 family —
+    compare the partition of (doc, pos) into fingerprint groups, not the
+    values, on docs with repeated windows, unicode and messy whitespace."""
+    from rasusa_spark.operators.spans import _windows
+
+    rows = [
+        (1, "a b c d a b c d a b c d"),
+        (2, "  a b C d\tA b c D  "),
+        (3, "İstanbul ΣΟΦΟΣ ΑΣ ß İstanbul ΣΟΦΟΣ ΑΣ ß end"),
+        (4, "x " * 30),
+        (5, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def classes(wins):
+        groups: dict = {}
+        for r in wins.collect():
+            groups.setdefault(r["_wh"], set()).add((r["doc_id"], r["pos"]))
+        return sorted(map(frozenset, groups.values()), key=sorted)
+
+    a = classes(_windows(df, 3, "text", "doc_id", portable=False))
+    b = classes(_windows(df, 3, "text", "doc_id", portable=True))
+    assert a == b
