@@ -958,10 +958,12 @@ def q_dup_spans(spark, sf_dir):
     duplicated token spans per document from stride-1 window fingerprints —
     one combinable groupBy finds hot windows, per-doc gaps-and-islands
     merges them into spans (operators/spans.py). r7: fingerprints use the
-    xxhash64 family (``portable=False``) — the fingerprint is a pure
-    distinctness identity and the oracle pins the OUTPUT spans, not the
-    fingerprints; the md5 chain (md5 + base-16 conv per position) was
-    ~40% of the window-generation stage. Identical spans up to 64-bit
+    XXH64 family (``portable=False``) — one JVM xxhash64 per word chained
+    per window in a vectorized Arrow kernel — because the fingerprint is
+    a pure distinctness identity and the oracle pins the OUTPUT spans,
+    not the fingerprints; the md5 chain (md5 + base-16 conv per position)
+    was ~40% of the window-generation stage and the n-ary per-position
+    rehash another ~half of what remained. Identical spans up to 64-bit
     collisions (verified set-equal at sf1), the engine's standard
     hashed-dedup contract."""
     from rasusa_spark.operators.spans import duplicated_spans
@@ -1002,7 +1004,7 @@ def q_hist_rerolled_1d(spark, sf_dir):
 
 
 def q_downsample_budget(spark, sf_dir):
-    li = _li_keyed(spark, sf_dir)
+    li = _li_keyed(spark, sf_dir).select("li_id", "w_qty", "l_orderkey", "l_linenumber", "l_returnflag")
     kept = downsample(
         li,
         seed=0,
@@ -1021,7 +1023,7 @@ def q_downsample_budget_threshold(spark, sf_dir):
     """Same selection as q_downsample_budget but through the two-phase
     threshold strategy — oracle identical, proving the scale path selects
     the same set as the sequential-semantics window."""
-    li = _li_keyed(spark, sf_dir)
+    li = _li_keyed(spark, sf_dir).select("li_id", "w_qty", "l_orderkey", "l_linenumber", "l_returnflag")
     kept = downsample(
         li,
         seed=0,
@@ -1044,7 +1046,7 @@ def q_downsample_topk(spark, sf_dir):
     strategy pays (3 groups → 3 single-threaded sort tasks at sf1). The
     window strategy itself stays driver-witnessed via
     ``downsample_budget``."""
-    li = _li_keyed(spark, sf_dir)
+    li = _li_keyed(spark, sf_dir).select("li_id", "l_orderkey", "l_linenumber", "l_returnflag")
     kept = downsample(
         li,
         seed=0,
@@ -1061,7 +1063,7 @@ def q_downsample_topk(spark, sf_dir):
 def q_downsample_frac(spark, sf_dir):
     """r7: strategy switched window → threshold (see q_downsample_topk —
     identical selection, no per-group global sort)."""
-    li = _li_keyed(spark, sf_dir)
+    li = _li_keyed(spark, sf_dir).select("li_id", "l_orderkey", "l_linenumber", "l_returnflag")
     kept = downsample(
         li,
         seed=0,
@@ -1217,12 +1219,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_token_counts(spark, sf_dir):
+    """r7: one Arrow kernel pass for both counts (token_count_table) —
+    value-identical to the two regexp_extract_all JVM projections."""
+    from rasusa_spark.operators.text import token_count_table
+
     docs = _load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_ws_tokens"),
-        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
-    )
+    return token_count_table(docs)
 
 
 def q_quality_features(spark, sf_dir):

@@ -1141,6 +1141,109 @@ def simhash_pairs_from_signatures(
     return out.unionByName(star) if star is not None else out
 
 
+def _shingle_set_kernel(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Distinct word n-gram shingle hashes per doc ``(id, _shh)`` via the
+    spans-style Arrow kernel (r7 continuation): ONE JVM xxhash64 per WORD,
+    then a vectorized numpy chain fingerprints every stride-1 window and
+    per-doc ``np.unique`` replaces ``array_distinct`` + explode. The
+    family differs from ``word_shingles_hashed`` (chained XXH64 over word
+    hashes vs one n-ary xxhash64) — use it only where BOTH sides of a
+    comparison use it and only EQUALITY of shingles matters
+    (``ngram_contamination``); minhash/prefix paths keep the n-ary family
+    their signatures and oracles are pinned to. Set-identical up to
+    64-bit collisions by the hashed-dedup contract; flagged outputs
+    pinned vs the JVM form by ``test_contamination_kernel_matches_jvm``."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    words_expr = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    wh = F.transform(words_expr, lambda x: F.xxhash64(x))
+    base = (
+        df.select(F.col(id_col), wh.alias("_h"))
+        .where(F.size("_h") >= n)
+        .repartition(F.col(id_col))
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("_shh", T.LongType()),
+        ]
+    )
+    nn = int(n)
+
+    def kern(batches):
+        P1 = np.uint64(0x9E3779B185EBCA87)
+        P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        P3 = np.uint64(0x165667B19E3779F9)
+        P4 = np.uint64(0x85EBCA77C2B2AE63)
+        P5 = np.uint64(0x27D4EB2F165667C5)
+        c64 = np.uint64(64)
+
+        def rotl(x, r):
+            r = np.uint64(r)
+            return (x << r) | (x >> (c64 - r))
+
+        def fmix(h):
+            h = h ^ (h >> np.uint64(33))
+            h = h * P2
+            h = h ^ (h >> np.uint64(29))
+            h = h * P3
+            return h ^ (h >> np.uint64(32))
+
+        def hash_long(l_u64, seed_u64):
+            h = seed_u64 + P5 + np.uint64(8)
+            h = h ^ (rotl(l_u64 * P2, 31) * P1)
+            h = rotl(h, 27) * P1 + P4
+            return fmix(h)
+
+        old = np.seterr(over="ignore")
+        try:
+            for batch in batches:
+                m = batch.num_rows
+                if m == 0:
+                    continue
+                col = batch.column("_h")
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                offs = col.offsets.to_numpy().astype(np.int64)
+                flat = col.values.to_numpy().view(np.uint64)
+                lens = offs[1:] - offs[:-1]
+                nw = lens - nn + 1
+                starts = np.repeat(offs[:-1], nw)
+                pos = np.arange(starts.size, dtype=np.int64) - np.repeat(
+                    np.cumsum(nw) - nw, nw
+                )
+                s = starts + pos
+                fp = np.full(s.size, 42, dtype=np.uint64)
+                for j in range(nn):
+                    fp = hash_long(flat[s + j], fp)
+                # per-doc distinct: unique on (doc ordinal, fp) pairs
+                doc_ix = np.repeat(np.arange(m, dtype=np.int64), nw)
+                order = np.lexsort((fp, doc_ix))
+                di, fo = doc_ix[order], fp[order]
+                keep = np.empty(di.size, dtype=bool)
+                keep[0] = True
+                keep[1:] = (di[1:] != di[:-1]) | (fo[1:] != fo[:-1])
+                ids = batch.column(id_col)
+                if isinstance(ids, pa.ChunkedArray):
+                    ids = ids.combine_chunks()
+                yield pa.record_batch(
+                    {
+                        id_col: ids.take(pa.array(di[keep])),
+                        "_shh": pa.array(fo[keep].view(np.int64)),
+                    }
+                )
+        finally:
+            np.seterr(**old)
+
+    return base.mapInArrow(kern, out_schema)
+
+
 def ngram_contamination(
     docs: DataFrame,
     probes: DataFrame,
@@ -1149,6 +1252,7 @@ def ngram_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_probes: bool = True,
+    kernel: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination check: documents sharing ≥ ``min_shared``
     distinct word n-gram shingles with ANY probe document (the
@@ -1165,15 +1269,24 @@ def ngram_contamination(
     instead of shingle strings — no array_join string build per gram on
     the corpus side, 8-byte join keys. Distinct grams ↔ distinct hashes
     up to 2⁻⁶⁴ collisions, the repo's standard hashed-dedup contract;
-    shared counts are identical absent a collision."""
+    shared counts are identical absent a collision.
+
+    ``kernel=True`` (default, r7 continuation): BOTH sides build their
+    shingle-hash sets via ``_shingle_set_kernel`` (per-word JVM hash +
+    vectorized chained-XXH64 windows + per-doc unique in numpy) instead
+    of the interpreted n-ary transform + array_distinct + explode; the
+    join, broadcast and per-doc count are unchanged. Output-identical
+    (both sides share one family; counts depend only on shingle
+    equality) — pinned by ``test_contamination_kernel_matches_jvm``."""
+    build = _shingle_set_kernel if kernel else word_shingles_hashed
     probe_sh = (
-        word_shingles_hashed(probes, n, text_col, id_col)
+        build(probes, n, text_col, id_col)
         .select("_shh")
         .distinct()
     )
     if broadcast_probes:
         probe_sh = F.broadcast(probe_sh)
-    doc_sh = word_shingles_hashed(docs, n, text_col, id_col)  # distinct per doc
+    doc_sh = build(docs, n, text_col, id_col)  # distinct per doc
     return (
         doc_sh.join(probe_sh, on="_shh")
         .groupBy(id_col)

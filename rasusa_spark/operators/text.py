@@ -32,12 +32,93 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), F.lit(0)))
 
 
+def token_count_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kernel: bool = True,
+) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens) per document.
+
+    ``kernel=True`` (default, r7 continuation): both counts from one
+    Arrow kernel pass — the JVM form runs two regexp_extract_all passes
+    that MATERIALIZE every token into an array just to take its size.
+    Python ``re`` with ``re.ASCII`` matches Java's default ``\\s``/
+    ``\\S`` classes exactly on these patterns (plain classes, no
+    lookaround); null text ⇒ (NULL, NULL) like ``size(NULL)``.
+    Row-identical by test (``test_token_count_kernel_matches_jvm``).
+    ``kernel=False`` keeps the JVM projection."""
+    c = F.col(text_col)
+    if not kernel:
+        return df.select(
+            F.col(id_col),
+            token_count(c).alias("n_ws_tokens"),
+            bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        )
+    import re
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    base = df.select(F.col(id_col), c).repartition(F.col(id_col))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("n_ws_tokens", T.IntegerType()),
+            T.StructField("n_bpe_tokens", T.IntegerType()),
+        ]
+    )
+
+    def kern(batches):
+        ws_re = re.compile(_WS_TOKEN_RE, re.ASCII)
+        bpe_re = re.compile(BPE_ISH_RE, re.ASCII)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(text_col).to_pylist()
+            nws, nbpe = [], []
+            for t in texts:
+                if t is None:
+                    nws.append(None)
+                    nbpe.append(None)
+                    continue
+                nws.append(len(ws_re.findall(t)))
+                nbpe.append(len(bpe_re.findall(t)))
+            yield pa.record_batch(
+                {
+                    id_col: batch.column(id_col),
+                    "n_ws_tokens": pa.array(nws, pa.int32()),
+                    "n_bpe_tokens": pa.array(nbpe, pa.int32()),
+                }
+            )
+
+    return base.mapInArrow(kern, out_schema)
+
+
 def repetition_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kernel: bool = True,
 ) -> DataFrame:
     """Intra-document repetition features — the Gopher/MassiveText-style
     quality filters (Rae et al. 2021 §A1.1) a training pipeline applies
-    before dedup:
+    before dedup.
+
+    ``kernel=True`` (default, r7 continuation) computes the three ratios
+    in one Arrow kernel per task: the values are pure functions of exact
+    per-doc multisets (line multiset, bigram multiset) — no hash family
+    involved at all (``collections.Counter`` over the literal bigrams
+    replaces the sorted-hash-array adjacency algebra; Spark's
+    ``round(x, 6)`` HALF_UP on ``BigDecimal.valueOf`` is mirrored with
+    ``Decimal(repr(x))``). Value-identical to the JVM array-expression
+    form by construction and by test
+    (``test_repetition_kernel_matches_jvm`` — full-corpus row equality
+    incl. unicode/blank/null edge docs); the per-element HOF
+    interpretation (one xxhash64 + two element_at per bigram, zip_with
+    flags, two folds) was the query's whole cost. ``kernel=False`` keeps
+    the all-JVM formulation (the no-Python scale posture; used by the
+    equality test).
 
     - ``dup_line_frac``: fraction of non-blank lines that repeat an earlier
       line (pure array exprs — split/distinct, zero shuffles);
@@ -57,6 +138,8 @@ def repetition_features(
     are rounded to 6 dp to keep float equality stable across engines;
     gram hashes are one xxhash64 over the two word columns (identical
     ratios up to 2⁻⁶⁴ collisions)."""
+    if kernel:
+        return _repetition_features_kernel(df, text_col, id_col)
     c = F.col(text_col)
     lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
     n_lines = F.size(lines)
@@ -134,6 +217,89 @@ def repetition_features(
     )
 
 
+def _repetition_features_kernel(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Arrow-kernel form of ``repetition_features`` (see its docstring):
+    one row out per row in; ids pass through via Arrow ``take`` so any id
+    dtype/null survives. Semantics mirrored exactly:
+
+    - lines: ``split(text, '\\n')`` with blank = ``trim(line) == ''``
+      (Spark trim strips 0x20 only); dup fraction over ORIGINAL lines;
+    - words: ``split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ')``
+      — NO empty-token filter (a leading tab yields a leading "" token,
+      as in the JVM form); Java's default ``\\s`` is ASCII-only →
+      ``re.ASCII``;
+    - bigram ratios from ``Counter`` over the literal (w[i], w[i+1])
+      pairs: dup = occurrences of grams with count ≥ 2; top = max count;
+    - null text ⇒ (0.0, 0.0, 0.0) (the JVM ``when`` branches);
+    - rounding: ``Decimal(repr(x)).quantize(1e-6, ROUND_HALF_UP)`` ≡
+      Spark's ``BigDecimal.valueOf(x).setScale(6, HALF_UP)`` (both parse
+      the shortest round-trip decimal of the double)."""
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    base = df.select(F.col(id_col), F.col(text_col)).repartition(F.col(id_col))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("dup_line_frac", T.DoubleType()),
+            T.StructField("dup_2gram_frac", T.DoubleType()),
+            T.StructField("top_2gram_frac", T.DoubleType()),
+        ]
+    )
+
+    def kern(batches):
+        ws = re.compile(r"\s+", re.ASCII)
+        q6 = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
+                continue
+            texts = batch.column(text_col).to_pylist()
+            dl, dg, tg = [], [], []
+            for t in texts:
+                if t is None:
+                    dl.append(0.0)
+                    dg.append(0.0)
+                    tg.append(0.0)
+                    continue
+                lines = [x for x in t.split("\n") if x.strip(" ") != ""]
+                nl = len(lines)
+                dl.append(
+                    r6((nl - len(set(lines))) / nl) if nl > 0 else 0.0
+                )
+                w = ws.sub(" ", t.strip(" ").lower()).split(" ")
+                n = len(w) - 1
+                if n <= 0:
+                    dg.append(0.0)
+                    tg.append(0.0)
+                    continue
+                cnt = Counter(zip(w, w[1:]))
+                dup = sum(c for c in cnt.values() if c >= 2)
+                top = max(cnt.values())
+                dg.append(r6(dup / n))
+                tg.append(r6(top / n))
+            yield pa.record_batch(
+                {
+                    id_col: batch.column(id_col),
+                    "dup_line_frac": pa.array(dl, pa.float64()),
+                    "dup_2gram_frac": pa.array(dg, pa.float64()),
+                    "top_2gram_frac": pa.array(tg, pa.float64()),
+                }
+            )
+
+    return base.mapInArrow(kern, out_schema)
+
+
 #: redaction patterns — deliberately simple enough to behave identically
 #: under Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -141,12 +307,28 @@ PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
 
 
 def redact_pii(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kernel: bool = True,
 ) -> DataFrame:
     """Scrub email addresses and phone-shaped digit runs, keeping counts —
-    the standard pre-training PII pass. Pure JVM regex (regexp_extract_all /
-    regexp_replace), one projection, no shuffle: at 100 TB this fuses into
-    the scan. Returns (id, n_emails, n_phones, redacted text)."""
+    the standard pre-training PII pass. Returns
+    (id, n_emails, n_phones, redacted text).
+
+    ``kernel=True`` (default, r7 continuation): one Arrow kernel per task
+    runs the two patterns once each with Python ``re`` — the JVM form
+    pays FOUR full regex passes per document (two extract_all + two
+    replace). The patterns are deliberately engine-portable (module
+    constants above: no backrefs/lookaround, ASCII classes only), so
+    Java and Python produce identical leftmost non-overlapping matches;
+    counts are taken on the ORIGINAL text and phones are replaced on the
+    email-redacted text, exactly like the JVM expression order.
+    Row-identical by test (``test_redact_kernel_matches_jvm``: full
+    corpus incl. the redacted STRING, plus null/empty/adversarial
+    edges). ``kernel=False`` keeps the all-JVM projection."""
+    if kernel:
+        return _redact_kernel(df, text_col, id_col)
     c = F.col(text_col)
     return df.select(
         F.col(id_col),
@@ -156,6 +338,55 @@ def redact_pii(
             F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
         ).alias("redacted"),
     )
+
+
+def _redact_kernel(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Arrow-kernel form of ``redact_pii`` (see its docstring). Null text
+    mirrors the JVM null algebra: (NULL, NULL, NULL). The replacement
+    literals contain no ``$``/backslash, so Java's appendReplacement and
+    Python's ``re.sub`` insert them verbatim."""
+    import re
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    base = df.select(F.col(id_col), F.col(text_col)).repartition(F.col(id_col))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("n_emails", T.IntegerType()),
+            T.StructField("n_phones", T.IntegerType()),
+            T.StructField("redacted", T.StringType()),
+        ]
+    )
+
+    def kern(batches):
+        email_re = re.compile(EMAIL_RE)
+        phone_re = re.compile(PHONE_RE)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(text_col).to_pylist()
+            ne, np_, red = [], [], []
+            for t in texts:
+                if t is None:
+                    ne.append(None)
+                    np_.append(None)
+                    red.append(None)
+                    continue
+                ne.append(len(email_re.findall(t)))
+                np_.append(len(phone_re.findall(t)))
+                red.append(phone_re.sub("[PHONE]", email_re.sub("[EMAIL]", t)))
+            yield pa.record_batch(
+                {
+                    id_col: batch.column(id_col),
+                    "n_emails": pa.array(ne, pa.int32()),
+                    "n_phones": pa.array(np_, pa.int32()),
+                    "redacted": pa.array(red, pa.string()),
+                }
+            )
+
+    return base.mapInArrow(kern, out_schema)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -202,13 +433,68 @@ def vocab_stats(
     text_col: str = "text",
     pattern: str = BPE_ISH_RE,
     k: int = 50,
+    kernel: bool = False,
 ) -> DataFrame:
     """Corpus-wide token-frequency table, top-``k`` by (count desc, token
     asc) — the first step of tokenizer training / frequency-cutoff vocab
     pruning. Explode + count is map-side combinable (one shuffle keyed by
     token; a stop-word hot key still collapses to one partial count per
     task), and the top-k is a TakeOrdered over the aggregated table, never
-    a full sort of the corpus."""
+    a full sort of the corpus.
+
+    ``kernel=True`` (r7 continuation, default OFF): an Arrow kernel
+    tokenizes AND pre-counts per task (``Counter``), so the shuffle
+    carries one (token, partial n) row per DISTINCT token per task
+    instead of one row per token OCCURRENCE; the final sum/top-k is
+    unchanged. Counts are exact string counts either way — identical by
+    test (``test_vocab_kernel_matches_jvm``); Python ``re.ASCII``
+    matches Java's default classes on the BPE pattern. Measured
+    same-window at sf1 the full-bench gain is inside noise (1.32 →
+    1.25 s — the explode+hash-agg is already map-side combined) while
+    the Python boundary costs +0.66 s at sf0.1, so the JVM path stays
+    the default; the kernel remains for corpora whose occurrence/
+    distinct ratio is far higher than this one's."""
+    if kernel:
+        import re
+        from collections import Counter
+
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("token", T.StringType()),
+                T.StructField("_pn", T.LongType()),
+            ]
+        )
+        pat = pattern
+
+        def kern(batches):
+            tok_re = re.compile(pat, re.ASCII)
+            cnt: Counter = Counter()
+            for batch in batches:
+                for t in batch.column(text_col).to_pylist():
+                    if t is not None:
+                        cnt.update(tok_re.findall(t.lower()))
+            if cnt:
+                toks, ns = zip(*cnt.items())
+                yield pa.record_batch(
+                    {
+                        "token": pa.array(list(toks), pa.string()),
+                        "_pn": pa.array(list(ns), pa.int64()),
+                    }
+                )
+
+        # round-robin spread so the kernel parallelizes past the scan's
+        # file-split count (scale-adaptive: 2 batches per core)
+        n_part = 2 * df.sparkSession.sparkContext.defaultParallelism
+        partial = (
+            df.select(F.col(text_col))
+            .repartition(n_part)
+            .mapInArrow(kern, out_schema)
+        )
+        counts = partial.groupBy("token").agg(F.sum("_pn").alias("n"))
+        return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
     toks = df.select(
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))).alias("token")
     )
@@ -233,6 +519,7 @@ def gopher_quality_filter(
     min_stop_hits: int = 2,
     max_bullet_line_frac: float = 0.9,
     max_ellipsis_line_frac: float = 0.3,
+    kernel: bool = True,
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021 App. A1.1) as
     pure column expressions — the standard pre-training quality gate the
@@ -245,7 +532,25 @@ def gopher_quality_filter(
     Rules: word count in [min,max]; mean word length in [min,max];
     symbol-to-word ratio (``#`` and ``...``) ≤ cap; ≥ ``min_stop_hits``
     distinct Gopher stopwords; ≤ caps on the fraction of lines that are
-    bullet-led / ellipsis-ended."""
+    bullet-led / ellipsis-ended.
+
+    ``kernel=True`` (default, r7 continuation): the same per-rule values
+    from one Arrow kernel per task — the JVM form pays five separate
+    regex/HOF passes over every document (regexp_extract_all,
+    regexp_replace, regexp_count, split+array ops ×2), all
+    codepoint-equivalent Python ``re`` operations on this pattern subset
+    (ASCII ``\\s``, no lookaround). Row-identical to the JVM form by test
+    (``test_gopher_kernel_matches_jvm``: full corpus + null/empty/
+    bullet/ellipsis/unicode edges, incl. the pinned null-text row
+    ``(None, 0.0, 0.0, None, None, None, False)``). ``kernel=False``
+    keeps the all-JVM codegen projection (the no-Python posture; used by
+    the equality test)."""
+    if kernel:
+        return _gopher_kernel(
+            df, text_col, id_col, min_words, max_words, min_mean_word_len,
+            max_mean_word_len, max_symbol_word_ratio, min_stop_hits,
+            max_bullet_line_frac, max_ellipsis_line_frac,
+        )
     c = F.col(text_col)
     n_words = token_count(c)
     n_word_chars = F.length(F.regexp_replace(c, r"\s", ""))
@@ -282,6 +587,120 @@ def gopher_quality_filter(
         F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
         kept.alias("kept"),
     )
+
+
+def _gopher_kernel(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_word_ratio: float,
+    min_stop_hits: int,
+    max_bullet_line_frac: float,
+    max_ellipsis_line_frac: float,
+) -> DataFrame:
+    """Arrow-kernel form of ``gopher_quality_filter`` — exact JVM
+    semantics (see its docstring): ASCII ``\\s``/``\\S`` (Java's default
+    classes), codepoint ``length``, leftmost non-overlapping
+    ``regexp_count``, ``like`` prefixes/suffix, double division in the
+    same operand order, ``round(x, 6)`` HALF_UP via ``Decimal(repr(x))``.
+    Null text mirrors the JVM null algebra: n_words/stop_hits/line
+    fractions NULL, mean/symbol ratios 0.0, ``kept`` False (0.0 always
+    fails ``min_mean_word_len`` ≥ 3 — asserted so a permissive threshold
+    cannot silently diverge from the JVM NULL conjunction)."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    assert min_mean_word_len > 0.0, "null-text kept mirror needs min>0"
+    base = df.select(F.col(id_col), F.col(text_col)).repartition(F.col(id_col))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("n_words", T.IntegerType()),
+            T.StructField("mean_word_len", T.DoubleType()),
+            T.StructField("symbol_ratio", T.DoubleType()),
+            T.StructField("stop_hits", T.IntegerType()),
+            T.StructField("bullet_frac", T.DoubleType()),
+            T.StructField("ellipsis_frac", T.DoubleType()),
+            T.StructField("kept", T.BooleanType()),
+        ]
+    )
+    stop_set = frozenset(_GOPHER_STOPWORDS)
+
+    def kern(batches):
+        tok_re = re.compile(r"\S+", re.ASCII)
+        ws_re = re.compile(r"\s", re.ASCII)
+        wsp_re = re.compile(r"\s+", re.ASCII)
+        sym_re = re.compile(r"#|\.\.\.")
+        q6 = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(text_col).to_pylist()
+            cols = {k: [] for k in
+                    ("nw", "mw", "sr", "sh", "bf", "ef", "kp")}
+            for t in texts:
+                if t is None:
+                    cols["nw"].append(None)
+                    cols["mw"].append(0.0)
+                    cols["sr"].append(0.0)
+                    cols["sh"].append(None)
+                    cols["bf"].append(None)
+                    cols["ef"].append(None)
+                    cols["kp"].append(False)
+                    continue
+                n_words = len(tok_re.findall(t))
+                n_word_chars = len(ws_re.sub("", t))
+                mean_wl = n_word_chars / n_words if n_words > 0 else 0.0
+                n_sym = len(sym_re.findall(t))
+                sym_ratio = n_sym / n_words if n_words > 0 else 0.0
+                sh = len(set(wsp_re.split(t.lower())) & stop_set)
+                lines = t.split("\n")
+                nl = len(lines)
+                bf = (
+                    sum(1 for x in lines
+                        if x.startswith("- ") or x.startswith("* ")) / nl
+                )
+                ef = sum(1 for x in lines if x.endswith("...")) / nl
+                kp = (
+                    (min_words <= n_words <= max_words)
+                    and (min_mean_word_len <= mean_wl <= max_mean_word_len)
+                    and (sym_ratio <= max_symbol_word_ratio)
+                    and (sh >= min_stop_hits)
+                    and (bf <= max_bullet_line_frac)
+                    and (ef <= max_ellipsis_line_frac)
+                )
+                cols["nw"].append(n_words)
+                cols["mw"].append(r6(mean_wl))
+                cols["sr"].append(r6(sym_ratio))
+                cols["sh"].append(sh)
+                cols["bf"].append(r6(bf))
+                cols["ef"].append(r6(ef))
+                cols["kp"].append(kp)
+            yield pa.record_batch(
+                {
+                    id_col: batch.column(id_col),
+                    "n_words": pa.array(cols["nw"], pa.int32()),
+                    "mean_word_len": pa.array(cols["mw"], pa.float64()),
+                    "symbol_ratio": pa.array(cols["sr"], pa.float64()),
+                    "stop_hits": pa.array(cols["sh"], pa.int32()),
+                    "bullet_frac": pa.array(cols["bf"], pa.float64()),
+                    "ellipsis_frac": pa.array(cols["ef"], pa.float64()),
+                    "kept": pa.array(cols["kp"], pa.bool_()),
+                }
+            )
+
+    return base.mapInArrow(kern, out_schema)
 
 
 def lang_id_udf():

@@ -266,6 +266,142 @@ def test_repetition_features_planted(spark):
     assert got[4].dup_2gram_frac == 0.0 and got[4].top_2gram_frac == 0.0
 
 
+def test_repetition_kernel_matches_jvm(spark, docs):
+    """r7: the Arrow repetition kernel must emit EXACTLY the JVM
+    array-expression rows — full corpus + edge docs (blank/whitespace
+    lines, tabs, unicode case, null text, empty text, single word)."""
+    from rasusa_spark.operators.text import repetition_features
+
+    edge = spark.createDataFrame(
+        [
+            (800001, "a b\na b\n   \nc d\n\na b"),
+            (800002, "\tx y\tx y  "),
+            (800003, "İstanbul ΣΟΦΟΣ ΑΣ İstanbul ΣΟΦΟΣ"),
+            (800004, ""),
+            (800005, None),
+            (800006, "solo"),
+            (800007, "same same same same same same"),
+            (800008, "line\nline\nLINE\nline "),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").union(edge)
+    a = {r.doc_id: tuple(r)[1:] for r in
+         repetition_features(both, kernel=False).collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in
+         repetition_features(both, kernel=True).collect()}
+    assert a == b
+    assert len(a) == both.count()
+
+
+def test_gopher_kernel_matches_jvm(spark, docs):
+    """r7: the Arrow gopher-quality kernel must emit EXACTLY the JVM
+    rows — full corpus + null/empty/bullet/ellipsis/unicode edges,
+    at the bench thresholds AND the defaults."""
+    from rasusa_spark.operators.text import gopher_quality_filter
+
+    edge = spark.createDataFrame(
+        [
+            (810001, None),
+            (810002, ""),
+            (810003, "   "),
+            (810004, "- a\n* b\nc...\nd"),
+            (810005, "x#y ... z...."),
+            (810006, "the be to of and that have with words enough here"),
+            (810007, "İstanbul ΣΟΦΟΣ\tΑΣ\nß..."),
+            (810008, "-bullet without space\n*also\n- yes\n* yes "),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").union(edge)
+    for kw in ({"min_words": 30, "min_mean_word_len": 3.5}, {}):
+        a = {r.doc_id: tuple(r)[1:] for r in
+             gopher_quality_filter(both, kernel=False, **kw).collect()}
+        b = {r.doc_id: tuple(r)[1:] for r in
+             gopher_quality_filter(both, kernel=True, **kw).collect()}
+        assert a == b and len(a) == both.count()
+
+
+def test_redact_kernel_matches_jvm(spark, docs):
+    """r7: the Arrow PII kernel must emit EXACTLY the JVM rows including
+    the redacted STRING — full corpus + adversarial edges (adjacent
+    matches, phone-in-email neighborhood, null/empty)."""
+    from rasusa_spark.operators.text import redact_pii
+
+    edge = spark.createDataFrame(
+        [
+            (820001, None),
+            (820002, ""),
+            (820003, "a@b.co c@d.org +1 555-123-4567 (555) 765-4321 9"),
+            (820004, "x@y.zw@q.vv double-at 12345678901234567890"),
+            (820005, "+((( 12345678 ))) not-quite +1 2 3 4 5 6 7 8 9"),
+            (820006, "jo.doe+x@example.co.uk."),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").union(edge)
+    a = {r.doc_id: tuple(r)[1:] for r in
+         redact_pii(both, kernel=False).collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in
+         redact_pii(both, kernel=True).collect()}
+    assert a == b and len(a) == both.count()
+
+
+def test_token_count_kernel_matches_jvm(spark, docs):
+    """r7: kernel token counts ≡ the two regexp_extract_all projections
+    on the corpus + whitespace/unicode/null edges."""
+    from rasusa_spark.operators.text import token_count_table
+
+    edge = spark.createDataFrame(
+        [
+            (830001, None),
+            (830002, ""),
+            (830003, "  x\xa0y\tz  "),
+            (830004, "a1b2 c-3.d (e) ß!"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").union(edge)
+    a = {r.doc_id: tuple(r)[1:] for r in
+         token_count_table(both, kernel=False).collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in
+         token_count_table(both, kernel=True).collect()}
+    assert a == b and len(a) == both.count()
+
+
+def test_vocab_kernel_matches_jvm(spark, docs):
+    """r7: kernel-pre-aggregated vocab counts ≡ the explode+groupBy form
+    (exact string counts, same top-k ordering), corpus + edges."""
+    from rasusa_spark.operators.text import vocab_stats
+
+    edge = spark.createDataFrame(
+        [(840001, None), (840002, ""), (840003, "A1b2 ß! ß! x\xa0y")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").union(edge)
+    a = [(r.token, r.n) for r in vocab_stats(both, kernel=False, k=200).collect()]
+    b = [(r.token, r.n) for r in vocab_stats(both, kernel=True, k=200).collect()]
+    assert a == b and len(a) > 20  # sf0.001's BPE vocab is tiny
+
+
+def test_contamination_kernel_matches_jvm(spark, docs):
+    """r7: contamination flagging through the kernel shingle sets must
+    equal the word_shingles_hashed form — same docs, same shared counts
+    (both sides share one hash family; only shingle EQUALITY matters)."""
+    from rasusa_spark.operators.dedup import ngram_contamination
+
+    probes = docs.where(F.col("doc_id") % 20 == 0)
+    rest = docs.where(F.col("doc_id") % 20 != 0)
+    a = {r.doc_id: r.shared_shingles for r in
+         ngram_contamination(rest, probes, n=3, min_shared=2,
+                             kernel=False).collect()}
+    b = {r.doc_id: r.shared_shingles for r in
+         ngram_contamination(rest, probes, n=3, min_shared=2,
+                             kernel=True).collect()}
+    assert a == b
+    assert len(a) > 0
+
+
 def test_redact_pii_planted(spark):
     from rasusa_spark.operators.text import redact_pii
 
@@ -1359,6 +1495,52 @@ def test_dsir_scores_match_python_mirror(spark, docs):
         ).collect()
     }
     assert pred == expected
+
+
+def test_dsir_kernel_buckets_match_jvm(spark, docs):
+    """r7: the Arrow feature-bucket kernel (_bucketed_occurrences) must
+    produce the EXACT row multiset of the JVM explode+md5+conv
+    formulation — per-(doc, flag, bucket) counts equal on the corpus AND
+    on unicode/whitespace edge docs (final sigma, Turkish İ, titlecase
+    ǅ, NBSP, tabs, null text/lang, empty text)."""
+    from rasusa_spark.operators.dsir import (
+        _bucket_col,
+        _bucketed_occurrences,
+        _exploded_features,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (900001, "İstanbul I STRASSE ß", "en"),
+            (900002, "ΣΟΦΟΣ ΑΣ mixΣ", None),
+            (900003, "ǅungla ǄX ABCẞ", "de"),
+            (900004, "x y keeps nbsp", "en"),
+            (900005, " lead\ttab  and   runs ", "fr"),
+            (900006, "", "en"),
+            (900007, None, "en"),
+            (900008, "solo", None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    both = docs.select("doc_id", "text", "lang").union(edge)
+    flagged = both.withColumn("_is_t", (F.col("lang") == "en").cast("boolean"))
+
+    jvm = _exploded_features(flagged, "text", "doc_id", "_is_t").select(
+        "doc_id", "_is_t", _bucket_col(F.col("_f"), 10_000)
+    )
+    ker = _bucketed_occurrences(flagged, 10_000, "text", "doc_id", "_is_t")
+
+    def counts(d):
+        return {
+            (r.doc_id, r._is_t, r.bucket): r.n
+            for r in d.groupBy("doc_id", "_is_t", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    ca, cb = counts(jvm), counts(ker)
+    assert ca == cb
+    assert len(ca) > 1000  # non-degenerate corpus coverage
 
 
 def test_embedding_near_duplicates_self(spark, embs):
