@@ -194,6 +194,7 @@ def _threshold_keep(
     id_col: str,
     weight_col: str,
     n_buckets: int = N_KEY_BUCKETS,
+    frac: float | None = None,
 ) -> DataFrame:
     # bucket = high bits of the key mapped to [0, n_buckets); preserves key
     # order because int64→double, scale, and floor are all monotone
@@ -203,10 +204,32 @@ def _threshold_keep(
     df = df.withColumn("_rs_kb", F.least(F.greatest(kb, F.lit(0)), F.lit(n_buckets - 1)))
 
     # phase 1: per-(group, bucket) weight totals — partial-aggregated map-side
-    hist = df.groupBy(*group_cols, "_rs_kb").agg(
-        F.sum(F.col(weight_col).cast("long")).alias("_rs_w"),
-        F.first("_rs_budget").alias("_rs_budget"),
-    )
+    if frac is None:
+        hist = df.groupBy(*group_cols, "_rs_kb").agg(
+            F.sum(F.col(weight_col).cast("long")).alias("_rs_w"),
+            F.first("_rs_budget").alias("_rs_budget"),
+        )
+    else:
+        # frac mode (r7 continuation): the per-group row count IS the sum
+        # of this histogram's weights (weight ≡ 1/row), so k is derived
+        # from a window total over the TINY hist table instead of a
+        # separate full count aggregate + broadcast join of the raw table
+        # (which re-ran inside both hist and persist lineages — one extra
+        # parquet scan). Same expression, same long n → bit-identical k:
+        # floor(f64(frac)·n + 0.5), the reference's reads.rs:529 rounding.
+        hist = df.groupBy(*group_cols, "_rs_kb").agg(
+            F.sum(F.col(weight_col).cast("long")).alias("_rs_w"),
+        )
+        tot = (
+            Window.partitionBy(*[F.col(c) for c in group_cols])
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        hist = hist.withColumn(
+            "_rs_budget",
+            F.floor(F.lit(frac) * F.sum("_rs_w").over(tot) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
     wspec = (
         Window.partitionBy(*[F.col(c) for c in group_cols])
         .orderBy("_rs_kb")
@@ -342,6 +365,17 @@ def downsample(
         group_cols=group_cols if derive_group_seeds else [],
     )
     if mode == "frac":
+        weight_expr = "_rs_one"
+        df = df.withColumn(weight_expr, F.lit(1))
+        if strategy == "threshold":
+            # k is derived inside the threshold histogram (same
+            # floor(f64(frac)·n + 0.5) on the same long n — bit-identical;
+            # see _threshold_keep): no separate count pass, no broadcast
+            # join of the raw table (r7 continuation).
+            out = _threshold_keep(
+                df, group_cols, id_col, weight_expr, frac=mode_budget
+            )
+            return out.select(*original_cols)
         counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_rs_n"))
         # round-half-away-from-zero on f64(frac)*n (reads.rs:529)
         kcol = F.floor(F.lit(mode_budget) * F.col("_rs_n") + F.lit(0.5)).cast("long")
@@ -350,8 +384,6 @@ def downsample(
             on=group_cols,
             how="inner",
         )
-        weight_expr = "_rs_one"
-        df = df.withColumn(weight_expr, F.lit(1))
     elif mode == "num":
         df = df.withColumn("_rs_budget", F.lit(int(mode_budget)))
         weight_expr = "_rs_one"
