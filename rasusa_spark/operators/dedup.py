@@ -282,6 +282,64 @@ def _prefix_candidates_from_docs(
     return paired.where(ubound >= alpha).select("id_a", "id_b")
 
 
+def _gram_sets_kernel(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, _sh array<long>): each doc's DISTINCT word n-gram shingle
+    hashes as one array, built in a mapInArrow kernel
+    (functions/npxxh.py) — bit-equal VALUES to
+    ``array_distinct(transform(sequence(...), i -> xxhash64(w[i..i+n-1])))``
+    (property-tested string-XXH64 chain; consumers are set-semantic, the
+    array order is sorted rather than first-occurrence). Replaces the
+    interpreted per-position JVM HOF in the block-sparse jaccard path."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from rasusa_spark.functions import npxxh
+
+    words_expr = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    base = (
+        df.select(F.col(id_col), words_expr.alias("_words"))
+        .where(F.size("_words") >= n)
+        .repartition(F.col(id_col))
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("_sh", T.ArrayType(T.LongType())),
+        ]
+    )
+    nn = int(n)
+
+    def kern(batches):
+        old = np.seterr(over="ignore")
+        try:
+            for batch in batches:
+                m = batch.num_rows
+                if m == 0:
+                    continue
+                doc_ix, fp, _ = npxxh.window_gram_hashes(
+                    batch.column("_words"), nn
+                )
+                di, fo, counts = npxxh.distinct_per_doc(doc_ix, fp)
+                offs = np.zeros(m + 1, dtype=np.int64)
+                offs[1:] = np.cumsum(counts[:m])
+                arr = pa.ListArray.from_arrays(
+                    pa.array(offs.astype(np.int32), pa.int32()),
+                    pa.array(fo.view(np.int64), pa.int64()),
+                )
+                yield pa.record_batch(
+                    [batch.column(id_col), arr], names=[id_col, "_sh"]
+                )
+        finally:
+            np.seterr(**old)
+
+    return base.mapInArrow(kern, out_schema)
+
+
 def _jaccard_block_sparse(
     df: DataFrame,
     n: int,
@@ -320,20 +378,12 @@ def _jaccard_block_sparse(
     import pandas as pd
     from pyspark.sql import types as T
 
-    words_expr = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    # per-doc distinct gram-hash arrays from the npxxh kernel — the SAME
+    # hash values as the former JVM n-ary transform (bit-exact string
+    # XXH64 chain), without its per-position interpreted HOF cost
+    sets = _gram_sets_kernel(df, n, text_col, id_col).withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     )
-    with_words = df.select(F.col(id_col), words_expr.alias("_words")).where(
-        F.size("_words") >= n
-    )
-    w = F.col("_words")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.xxhash64(*[F.element_at(w, i + j + 1) for j in range(n)]),
-    )
-    sets = with_words.select(
-        F.col(id_col), F.array_distinct(grams).alias("_sh")
-    ).withColumn("_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int"))
     bp = F.explode(
         F.array(
             *[

@@ -76,6 +76,55 @@ def test_prefix_filter_equals_naive_jaccard(spark, docs):
         assert a == b, f"threshold {t}: prefix-filtered != naive"
 
 
+def test_numpy_xxh64_string_matches_spark(spark):
+    """npxxh.xxh64_strings_vec must be bit-exact vs Spark's
+    xxhash64(string[, string]) — single-arg (seed 42) AND chained —
+    across every length class (0..40, the 32-byte stripe boundary, 100,
+    200) with ascii + unicode bytes. This is the contract that lets the
+    gram-hash transform move into the minhash / block-jaccard kernels."""
+    import random
+    import string as stringmod
+
+    from rasusa_spark.functions import npxxh
+
+    rng = random.Random(7)
+    pool = stringmod.ascii_letters + stringmod.digits + " _-%$#é漢字ß "
+    cases = []
+    for L in list(range(0, 40)) + [47, 63, 64, 100, 200]:
+        for _ in range(12):
+            cases.append("".join(rng.choice(pool) for _ in range(L)))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i long, s string"
+    )
+    got = {
+        r["i"]: (r["h1"], r["h2"])
+        for r in df.select(
+            "i",
+            F.xxhash64(F.col("s")).alias("h1"),
+            F.xxhash64(F.col("s"), F.col("s")).alias("h2"),
+        ).collect()
+    }
+    datas = [c.encode("utf-8") for c in cases]
+    offs = np.zeros(len(datas) + 1, dtype=np.int64)
+    offs[1:] = np.cumsum([len(d) for d in datas])
+    flat = (
+        np.frombuffer(b"".join(datas), dtype=np.uint8)
+        if offs[-1]
+        else np.zeros(1, np.uint8)
+    )
+    idx = np.arange(len(datas), dtype=np.int64)
+    old = np.seterr(over="ignore")
+    try:
+        h1 = npxxh.xxh64_strings_vec(
+            flat, offs, idx, np.full(len(datas), 42, dtype=np.uint64)
+        )
+        h2 = npxxh.xxh64_strings_vec(flat, offs, idx, h1)
+    finally:
+        np.seterr(**old)
+    for i in range(len(cases)):
+        assert (np.int64(h1[i]), np.int64(h2[i])) == got[i], cases[i][:30]
+
+
 def test_numpy_xxh64_matches_spark(spark):
     """The minhash signature kernel's numpy XXH64 must be bit-exact vs
     Spark's xxhash64 for both composition shapes it uses: the
